@@ -1,0 +1,157 @@
+"""
+Typed configuration objects.
+
+The reference configures everything through keyword arguments with
+scientific defaults scattered across call sites (e.g. `fitting.py:579-585`,
+`fitting.py:1426-1437`).  Here the defaults are centralized into frozen
+(hashable) dataclasses so they can be passed as static arguments to
+jitted functions.  Every default value preserves the reference's.
+"""
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class FitConfig:
+    """Controls the per-star likelihood optimization.
+
+    Parity: defaults follow reference `brutus/fitting.py:579-585` and
+    `brutus/fitting.py:34-40` (mag phase), `274-278` (flux phase),
+    `430-433` (MLE expansion).
+    """
+
+    # Bounds + Gaussian priors on extinction parameters.
+    avlim: tuple = (0.0, 20.0)
+    av_gauss: tuple = (0.0, 1e6)       # essentially flat over avlim
+    rvlim: tuple = (1.0, 8.0)
+    rv_gauss: tuple = (3.32, 0.18)     # Schlafly et al. (2016)
+
+    # Regularization inside the MLE re-expansion (fitting.py:433).
+    av_reg: float = 0.05
+    rv_reg: float = 0.1
+
+    # Convergence controls (fitting.py:583).
+    ltol: float = 3e-2                 # flux-phase weighted log-like tol
+    ltol_subthresh: float = 1e-2       # subset threshold for convergence
+    init_thresh: float = 5e-3          # post-mag-fit cull threshold
+    apply_init_cull: bool = True       # None-equivalent switch in reference
+
+    # Dimensionality prior: lnl -> chi2 logpdf with Ndim-3 dof.
+    dim_prior: bool = True
+
+    # Clamp on the MLE flux scale (fitting.py:517-518).
+    scale_min: float = 1e-20
+
+    # Loop safety bounds (the reference iterates unboundedly; these are
+    # generous static caps for `lax.while_loop`).
+    max_iter_mag: int = 100
+    max_iter_flux: int = 100
+
+    # Stepsize damping factor when the log-likelihood decreases
+    # (fitting.py:779 `rescaling = 1.2`).
+    stepsize_rescale: float = 1.2
+
+    # Initial guesses (fitting.py:700-703 defaults to the prior means).
+    av_init: float = None              # default: av_gauss[0]
+    rv_init: float = None              # default: rv_gauss[0]
+
+    # Large-but-float32-safe stand-in for the reference's 1e50 variance
+    # flag on unusable magnitudes (fitting.py:725).
+    big_var: float = 1e30
+
+    @property
+    def mtol(self):
+        """Mag-phase tolerance, `2.5 * ltol` (fitting.py:732)."""
+        return 2.5 * self.ltol
+
+    @property
+    def av0(self):
+        return self.av_gauss[0] if self.av_init is None else self.av_init
+
+    @property
+    def rv0(self):
+        return self.rv_gauss[0] if self.rv_init is None else self.rv_init
+
+
+@dataclasses.dataclass(frozen=True)
+class PosteriorConfig:
+    """Controls the Monte-Carlo posterior integration + resampling.
+
+    Parity: defaults follow reference `brutus/fitting.py:823-827` and
+    `brutus/fitting.py:1426-1437`.
+    """
+
+    n_mc_prior: int = 50               # MC draws per model (fit() default)
+    wt_thresh: float = 1e-3            # relative-weight cull threshold
+    cdf_thresh: float = 2e-3           # CDF cull (used when wt_thresh None)
+    n_draws: int = 250                 # posterior realizations saved
+    avlim: tuple = (0.0, 20.0)
+    rvlim: tuple = (1.0, 8.0)
+    # Fixed-size top-k replacing the reference's dynamic memory cap
+    # Nsel_max = mem_lim / Nmc_prior / 4e-4 (fitting.py:968-970).  A dense
+    # TPU program needs a static shape; 4096 models retains far more
+    # posterior mass than the reference's 1e-3 relative-weight cutoff.
+    n_sel_max: int = 4096
+    apply_av_prior: bool = True
+    apply_dlabels: bool = True
+    # PSD repair (fitting.py:1042-1065): escalating diagonal Gaussian
+    # priors, doubled each pass; fixed pass count for static control flow.
+    psd_width: float = 0.02
+    psd_max_passes: int = 8
+    mvn_eps: float = 1e-30             # Cholesky jitter (utils.py:845)
+
+
+@dataclasses.dataclass(frozen=True)
+class GalPriorConfig:
+    """Galactic 3-D prior parameters.
+
+    Parity: reference `brutus/pdf.py:476-486` defaults (thin/thick disk +
+    halo number density, metallicity and age mixtures), themselves based
+    on Bland-Hawthorn & Gerhard (2016).
+    """
+
+    R_solar: float = 8.2
+    Z_solar: float = 0.025
+    R_thin: float = 2.6
+    Z_thin: float = 0.3
+    Rs_thin: float = 2.0
+    R_thick: float = 2.0
+    Z_thick: float = 0.9
+    f_thick: float = 0.04
+    Rs_thick: float = 2.0
+    Rs_halo: float = 2.0
+    q_halo_ctr: float = 0.2
+    q_halo_inf: float = 0.8
+    r_q_halo: float = 6.0
+    eta_halo: float = 4.2
+    f_halo: float = 0.005
+    feh_thin: float = -0.2
+    feh_thin_sigma: float = 0.3
+    feh_thick: float = -0.7
+    feh_thick_sigma: float = 0.4
+    feh_halo: float = -1.6
+    feh_halo_sigma: float = 0.5
+    max_age: float = 13.8
+    min_age: float = 0.0
+    feh_age_ctr: float = -0.5
+    feh_age_scale: float = 0.5
+    nsigma_from_max_age: float = 2.0
+    max_sigma: float = 4.0
+    min_sigma: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class DustPriorConfig:
+    """3-D dust prior knobs (reference `brutus/pdf.py:752-754`)."""
+
+    offset: float = 0.0
+    scale: float = 1.0
+    smooth: float = 1.0
+    scatter: float = 0.2
+
+
+LN2PI = math.log(2.0 * math.pi)
+
+__all__ = ["FitConfig", "PosteriorConfig", "GalPriorConfig",
+           "DustPriorConfig", "LN2PI"]

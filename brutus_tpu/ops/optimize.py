@@ -1,0 +1,349 @@
+"""
+Per-star x per-model linear optimization of `(s, Av, Rv)` and the grid
+log-likelihood.
+
+This is the compute core of the framework: the reference's four numba
+kernels (`brutus/fitting.py:34` `_optimize_fit_mag`, `:274`
+`_optimize_fit_flux`, `:430` `_get_sed_mle`, and `brutus/utils.py:286`
+`_get_seds`) recast as dense, batched tensor algebra over a
+`(models, filters)` block with `lax.while_loop` control flow.  A single
+call handles one star against the full (or sharded) model grid; stars
+are batched with `vmap` and the model axis sharded with `pjit` /
+`NamedSharding` (see `brutus_tpu.parallel`).
+
+Design notes (TPU-first, not a translation):
+  * The reference culls models between phases via boolean fancy-indexing
+    (dynamic shapes).  Here all models stay resident and dense; the cull
+    set only defines the convergence predicate and which phase's results
+    each model reports (`keep` mask), which reproduces the reference's
+    outputs exactly while keeping shapes static.
+  * Band masking is handled by zero weights (`wt = mask / var`) instead
+    of fancy-indexing the filter axis.
+  * The filter-axis reductions are expressed as `X @ w` contractions so
+    XLA can fuse them and feed the MXU/VPU efficiently.
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import FitConfig, LN2PI
+from ..utils import chi2_logpdf
+from .sed import get_seds_mag, get_seds_flux
+
+NEG_BIG = -1e30  # reference's -inf stand-in (fitting.py:778), float32-safe
+
+
+def _masked_max(x, mask, initial=-jnp.inf):
+    return jnp.max(jnp.where(mask, x, initial))
+
+
+# ---------------------------------------------------------------------------
+# Phase A: magnitude-space alternating (Av, Rv) solves
+# (parity: reference brutus/fitting.py:34-271)
+# ---------------------------------------------------------------------------
+
+def optimize_mag(mags, wt_mag, mag_coeffs, av0, rv0, cfg: FitConfig):
+    """Iterated alternating 2x2 weighted least-squares in magnitude space.
+
+    In magnitudes, extinction is additive, so at fixed R(V) the system in
+    (distance-modulus offset, dAv) is linear; the reference alternates
+    the (s, Av) and (s, Rv) 2x2 solves with Gaussian priors and bound
+    clamps until the (Av, Rv) updates of all "reasonably good" models
+    fall below tolerance (fitting.py:173-264).
+
+    Parameters
+    ----------
+    mags : (F,) observed magnitudes (0 where invalid).
+    wt_mag : (F,) inverse magnitude variances, 0 for masked/invalid bands.
+    mag_coeffs : (M, F, 3)
+    av0, rv0 : (M,) initial values.
+
+    Returns
+    -------
+    av, rv : (M,) optimized extinction parameters.
+    """
+    r0 = mag_coeffs[..., 1]
+    dr = mag_coeffs[..., 2]                       # (M, F)
+    models0, rvec0, _ = get_seds_mag(mag_coeffs, av0, rv0)
+    resid0 = mags - models0                       # (M, F)
+
+    av_var_inv = 1.0 / cfg.av_gauss[1] ** 2
+    rv_var_inv = 1.0 / cfg.rv_gauss[1] ** 2
+    av_mean, rv_mean = cfg.av_gauss[0], cfg.rv_gauss[0]
+    avmin, avmax = cfg.avlim
+    rvmin, rvmax = cfg.rvlim
+    log_init_thresh = math.log(cfg.init_thresh)
+
+    # Iteration-constant reductions (fitting.py:158-164).
+    s_den = jnp.sum(wt_mag) * jnp.ones(mag_coeffs.shape[0],
+                                       dtype=mag_coeffs.dtype)
+    rp_den = (dr * dr) @ wt_mag                   # (M,)
+    srp_mix = dr @ wt_mag                         # (M,)
+
+    def body(state):
+        av, rv, rvec, resid, _, it = state
+
+        # --- Av update (fitting.py:176-204) ---
+        a_den = (rvec * rvec) @ wt_mag + av_var_inv
+        sa_mix = rvec @ wt_mag
+        resid_s = resid @ wt_mag
+        resid_a = (resid * rvec) @ wt_mag + (av_mean - av) * av_var_inv
+        sa_idet = 1.0 / (s_den * a_den - sa_mix * sa_mix)
+        dav = sa_idet * (s_den * resid_a - sa_mix * resid_s)
+        dav = jnp.clip(dav, avmin - av, avmax - av)
+        av = av + dav
+        resid = resid - dav[:, None] * rvec
+
+        # --- Rv update (fitting.py:206-237) ---
+        r_den = rp_den * av * av + rv_var_inv
+        sr_mix = srp_mix * av
+        resid_s = resid @ wt_mag
+        resid_r = av * ((resid * dr) @ wt_mag) + (rv_mean - rv) * rv_var_inv
+        sr_idet = 1.0 / (s_den * r_den - sr_mix * sr_mix)
+        drv = sr_idet * (s_den * resid_r - sr_mix * resid_s)
+        drv = jnp.clip(drv, rvmin - rv, rvmax - rv)
+        rv = rv + drv
+        resid = resid - (av * drv)[:, None] * dr
+        rvec = rvec + drv[:, None] * dr
+
+        # --- convergence over good-fit subset (fitting.py:240-264) ---
+        chi2 = (resid * resid) @ wt_mag
+        logwt = -0.5 * chi2
+        good = logwt > jnp.max(logwt) + log_init_thresh
+        err = _masked_max(jnp.maximum(jnp.abs(dav), jnp.abs(drv)), good)
+        return av, rv, rvec, resid, err, it + 1
+
+    def cond(state):
+        *_, err, it = state
+        return (err >= cfg.mtol) & (it < cfg.max_iter_mag)
+
+    init = (av0, rv0, rvec0, resid0, jnp.asarray(jnp.inf, mags.dtype),
+            jnp.asarray(0, jnp.int32))
+    av, rv, *_ = lax.while_loop(cond, body, init)
+    return av, rv
+
+
+# ---------------------------------------------------------------------------
+# MLE re-expansion in flux space
+# (parity: reference brutus/fitting.py:430-576 `_get_sed_mle`)
+# ---------------------------------------------------------------------------
+
+def sed_mle(flux, wt_flux, mag_coeffs, av, rv, cfg: FitConfig):
+    """Recompute flux-space models at `(av, rv)`, solve the MLE scale per
+    model, and build the per-model 3x3 precision of `(s, Av, Rv)`.
+
+    Parameters
+    ----------
+    flux : (F,) observed fluxes (0 where masked).
+    wt_flux : (F,) `mask / tot_var`.
+    mag_coeffs : (M, F, 3); av, rv : (M,).
+
+    Returns
+    -------
+    models, rvecs, drvecs : (M, F) scaled flux-space quantities.
+    scale : (M,); icov_sar : (M, 3, 3); resid : (M, F).
+    """
+    m, rvec, drvec = get_seds_flux(mag_coeffs, av, rv)   # unscaled
+
+    # MLE scale factor (fitting.py:510-518).
+    s_num = m @ (flux * wt_flux)
+    s_den = (m * m) @ wt_flux
+    scale = jnp.maximum(s_num / s_den, cfg.scale_min)
+
+    # Reddening contribution relative to the intrinsic SED.
+    m_int = 10.0 ** (-0.4 * mag_coeffs[..., 0])
+    ms = m * scale[:, None]
+    resid = flux - ms
+    red_s = (m - m_int) * scale[:, None]
+
+    # Cross terms: the scale rows use *unscaled* reddening vectors, the
+    # (Av, Rv) block uses *scaled* ones (fitting.py:526-561).
+    t = ms - resid                                       # = 2*ms - flux
+    sa_mix = (rvec * t) @ wt_flux
+    sr_mix = (drvec * t) @ wt_flux
+    rvec_s = rvec * scale[:, None]
+    drvec_s = drvec * scale[:, None]
+    ar_mix = (drvec_s * (red_s - resid)) @ wt_flux
+    a_den = ((rvec_s * rvec_s) @ wt_flux
+             + 1.0 / cfg.av_gauss[1] ** 2 + 1.0 / cfg.av_reg ** 2)
+    r_den = ((drvec_s * drvec_s) @ wt_flux
+             + 1.0 / cfg.rv_gauss[1] ** 2 + 1.0 / cfg.rv_reg ** 2)
+
+    icov_sar = jnp.stack([
+        jnp.stack([s_den, sa_mix, sr_mix], axis=-1),
+        jnp.stack([sa_mix, a_den, ar_mix], axis=-1),
+        jnp.stack([sr_mix, ar_mix, r_den], axis=-1),
+    ], axis=-2)                                          # (M, 3, 3)
+
+    return ms, rvec_s, drvec_s, scale, icov_sar, resid
+
+
+# ---------------------------------------------------------------------------
+# One damped flux-space (Av, Rv) update
+# (parity: reference brutus/fitting.py:274-427 `_optimize_fit_flux`)
+# ---------------------------------------------------------------------------
+
+def optimize_flux_step(wt_flux, models, rvecs, drvecs, resid, av, rv,
+                       stepsize, cfg: FitConfig):
+    """Single damped `(dAv, dRv)` update in flux-density space.
+
+    Both updates are solved at the *current* residuals (independently,
+    fitting.py:385-402), scaled by the per-model `stepsize`, clamped to
+    bounds, and applied.
+    """
+    av_var_inv = 1.0 / cfg.av_gauss[1] ** 2
+    rv_var_inv = 1.0 / cfg.rv_gauss[1] ** 2
+
+    a_num = (rvecs * resid) @ wt_flux + (cfg.av_gauss[0] - av) * av_var_inv
+    a_den = (rvecs * rvecs) @ wt_flux + av_var_inv
+    dav = stepsize * a_num / a_den
+
+    r_num = (drvecs * resid) @ wt_flux + (cfg.rv_gauss[0] - rv) * rv_var_inv
+    r_den = (drvecs * drvecs) @ wt_flux + rv_var_inv
+    drv = stepsize * r_num / r_den
+
+    dav = jnp.clip(dav, cfg.avlim[0] - av, cfg.avlim[1] - av)
+    av = av + dav
+    drv = jnp.clip(drv, cfg.rvlim[0] - rv, cfg.rvlim[1] - rv)
+    rv = rv + drv
+    return av, rv
+
+
+# ---------------------------------------------------------------------------
+# Full per-star grid log-likelihood
+# (parity: reference brutus/fitting.py:579-820 `loglike`)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("cfg",))
+def loglike_grid(flux, fluxerr, mask, mag_coeffs,
+                 parallax=jnp.nan, parallax_err=jnp.nan,
+                 cfg: FitConfig = FitConfig()):
+    """Log-likelihood of one star against every model on the grid,
+    profiling out `(s, Av, Rv)` per model.
+
+    Pipeline (mirrors reference `fitting.py:579-820`):
+      1. data hygiene + magnitude conversion,
+      2. magnitude-space alternating solves (`optimize_mag`),
+      3. MLE re-expansion in flux space (`sed_mle`),
+      4. likelihood-threshold "cull" (here: a mask; optional parallax
+         clip in scale space),
+      5. damped flux-space iteration to convergence,
+      6. Gaussian normalization constant + optional chi2 dimensionality
+         prior.
+
+    Parameters
+    ----------
+    flux, fluxerr, mask : (F,) per-band data.
+    mag_coeffs : (M, F, 3) grid coefficients.
+    parallax, parallax_err : scalars (NaN when absent).
+
+    Returns
+    -------
+    dict with `lnlike, ndim, chi2, scale, av, rv, icov_sar` of shapes
+    `(M,) / scalar / (M,) / (M,) / (M,) / (M,) / (M, 3, 3)`.
+    """
+    dtype = mag_coeffs.dtype
+    flux = flux.astype(dtype)
+    fluxerr = fluxerr.astype(dtype)
+    M = mag_coeffs.shape[0]
+
+    # --- data hygiene (fitting.py:706-716) ---
+    clean = jnp.isfinite(flux) & jnp.isfinite(fluxerr) & (fluxerr > 0.0)
+    mask = (mask > 0) & clean
+    flux = jnp.where(mask, flux, 0.0)
+    fluxerr = jnp.where(mask, fluxerr, 1.0)
+    ndim = jnp.sum(mask)
+    tot_var = jnp.square(fluxerr)
+    wt_flux = jnp.where(mask, 1.0 / tot_var, 0.0)
+
+    # --- magnitude conversion (fitting.py:718-725); non-positive fluxes
+    # keep their band in flux space but get ~zero weight in mag space ---
+    pos = mask & (flux > 0.0)
+    safe_flux = jnp.where(pos, flux, 1.0)
+    mags = jnp.where(pos, -2.5 * jnp.log10(safe_flux), 0.0)
+    mags_var = ((2.5 / jnp.log(10.0)) ** 2 * tot_var
+                / jnp.square(safe_flux))
+    wt_mag = jnp.where(mask,
+                       jnp.where(pos, 1.0 / mags_var, 1.0 / cfg.big_var),
+                       0.0)
+
+    # --- phase A: magnitude fit (fitting.py:727-741) ---
+    av0 = jnp.full((M,), cfg.av0, dtype)
+    rv0 = jnp.full((M,), cfg.rv0, dtype)
+    av, rv = optimize_mag(mags, wt_mag, mag_coeffs, av0, rv0, cfg)
+    (models, rvecs, drvecs, scale, icov_sar,
+     resid) = sed_mle(flux, wt_flux, mag_coeffs, av, rv, cfg)
+
+    chi2_mag = (resid * resid) @ wt_flux
+    lnl_mag = -0.5 * chi2_mag
+
+    # --- initial cull mask (fitting.py:743-768) ---
+    if cfg.apply_init_cull:
+        par = jnp.sqrt(scale)
+        have_plx = jnp.isfinite(parallax) & jnp.isfinite(parallax_err)
+        chi2_p = jnp.where(have_plx,
+                           (par - parallax) ** 2
+                           / jnp.where(have_plx, parallax_err, 1.0) ** 2,
+                           0.0)
+        lnl_p = lnl_mag - 0.5 * chi2_p
+        keep = lnl_p > jnp.max(lnl_p) + math.log(cfg.init_thresh)
+    else:
+        keep = jnp.ones((M,), bool)
+
+    # --- phase B: damped flux iteration (fitting.py:777-803) ---
+    ln_subthresh = math.log(cfg.ltol_subthresh)
+
+    def body(state):
+        (models, rvecs, drvecs, scale, av, rv, icov, resid,
+         lnl_old, stepsize, _, it) = state
+        av, rv = optimize_flux_step(wt_flux, models, rvecs, drvecs, resid,
+                                    av, rv, stepsize, cfg)
+        (models, rvecs, drvecs, scale, icov,
+         resid) = sed_mle(flux, wt_flux, mag_coeffs, av, rv, cfg)
+        chi2 = (resid * resid) @ wt_flux
+        lnl_new = -0.5 * chi2
+        sel = keep & (lnl_new > _masked_max(lnl_new, keep) + ln_subthresh)
+        lerr = _masked_max(jnp.abs(lnl_new - lnl_old), sel)
+        stepsize = jnp.where(lnl_new < lnl_old,
+                             stepsize / cfg.stepsize_rescale, stepsize)
+        return (models, rvecs, drvecs, scale, av, rv, icov, resid,
+                lnl_new, stepsize, lerr, it + 1)
+
+    def cond(state):
+        *_, lerr, it = state
+        return (lerr > cfg.ltol) & (it < cfg.max_iter_flux)
+
+    init = (models, rvecs, drvecs, scale, av, rv, icov_sar, resid,
+            jnp.full((M,), NEG_BIG, dtype), jnp.ones((M,), dtype),
+            jnp.asarray(jnp.inf, dtype), jnp.asarray(0, jnp.int32))
+    (models, rvecs, drvecs, scale_f, av_f, rv_f, icov_f, resid,
+     lnl_f, *_ ) = lax.while_loop(cond, body, init)
+
+    chi2_f = -2.0 * lnl_f
+    # Gaussian normalization constant (fitting.py:806-807).
+    safe_var = jnp.where(mask, tot_var, 1.0)
+    lnl_f = lnl_f - 0.5 * (ndim * LN2PI +
+                           jnp.sum(jnp.log(safe_var) * mask))
+
+    # --- merge: culled models report their phase-A results
+    # (fitting.py:805-810) ---
+    lnl = jnp.where(keep, lnl_f, lnl_mag)
+    chi2 = jnp.where(keep, chi2_f, chi2_mag)
+    scale = jnp.where(keep, scale_f, scale)
+    av = jnp.where(keep, av_f, av)
+    rv = jnp.where(keep, rv_f, rv)
+    icov_sar = jnp.where(keep[:, None, None], icov_f, icov_sar)
+
+    # --- dimensionality prior (fitting.py:812-815) ---
+    if cfg.dim_prior:
+        lnl = chi2_logpdf(chi2, ndim - 3)
+
+    return dict(lnlike=lnl, ndim=ndim, chi2=chi2, scale=scale,
+                av=av, rv=rv, icov_sar=icov_sar)
+
+
+__all__ = ["optimize_mag", "optimize_flux_step", "sed_mle", "loglike_grid"]

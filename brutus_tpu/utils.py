@@ -1,0 +1,295 @@
+"""
+Core numerical utilities (JAX).
+
+TPU-first re-implementations of the foundation layer of the reference
+(`brutus/utils.py`): photometric transforms, batched 3x3 linear algebra,
+hand-rolled statistical pdfs, weighted quantiles, and batched
+multivariate-normal sampling.  All functions are pure, jit-safe, and
+operate on arbitrary leading batch dimensions.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaln, erf
+
+LN10 = jnp.log(10.0)
+
+
+# ---------------------------------------------------------------------------
+# Photometric transforms (parity: reference brutus/utils.py:908-1086)
+# ---------------------------------------------------------------------------
+
+def magnitude(phot, err, zeropoints=1.0):
+    """Convert flux densities (+errors) to AB magnitudes.
+
+    Parity: reference `brutus/utils.py:908-940`.
+    """
+    phot = jnp.asarray(phot)
+    mag = -2.5 * jnp.log10(phot / zeropoints)
+    mag_err = 2.5 / LN10 * err / phot
+    return mag, mag_err
+
+
+def inv_magnitude(mag, err, zeropoints=1.0):
+    """Convert AB magnitudes (+errors) to flux densities.
+
+    Parity: reference `brutus/utils.py:943-975`.
+    """
+    phot = 10 ** (-0.4 * jnp.asarray(mag)) * zeropoints
+    phot_err = err * 0.4 * LN10 * phot
+    return phot, phot_err
+
+
+def luptitude(phot, err, skynoise=1.0, zeropoints=1.0):
+    """Convert fluxes to asinh magnitudes ("Luptitudes", Lupton et al. 1999).
+
+    Parity: reference `brutus/utils.py:978-1017`.
+    """
+    phot = jnp.asarray(phot)
+    mag = -2.5 / LN10 * (jnp.arcsinh(phot / (2.0 * skynoise)) +
+                         jnp.log(skynoise / zeropoints))
+    mag_err = jnp.sqrt(jnp.square(2.5 * jnp.log10(jnp.e) * err) /
+                       (jnp.square(2.0 * skynoise) + jnp.square(phot)))
+    return mag, mag_err
+
+
+def inv_luptitude(mag, err, skynoise=1.0, zeropoints=1.0):
+    """Convert asinh magnitudes back to fluxes.
+
+    Parity: reference `brutus/utils.py:1020-1058`.
+    """
+    mag = jnp.asarray(mag)
+    phot = (2.0 * skynoise) * jnp.sinh(LN10 / -2.5 * mag -
+                                       jnp.log(skynoise / zeropoints))
+    phot_err = jnp.sqrt((jnp.square(2.0 * skynoise) + jnp.square(phot)) *
+                        jnp.square(err)) / (2.5 * jnp.log10(jnp.e))
+    return phot, phot_err
+
+
+def add_mag(mag1, mag2, f1=1.0, f2=1.0):
+    """Combined magnitude of two components with fractional weights.
+
+    Parity: reference `brutus/utils.py:1061-1086`.
+    """
+    flux1 = 10 ** (-0.4 * jnp.asarray(mag1))
+    flux2 = 10 ** (-0.4 * jnp.asarray(mag2))
+    return -2.5 * jnp.log10(f1 * flux1 + f2 * flux2)
+
+
+# ---------------------------------------------------------------------------
+# Batched 3x3 linear algebra (parity: reference brutus/utils.py:71-127)
+# ---------------------------------------------------------------------------
+
+def adjoint3(A):
+    """Adjugate (transposed cofactor matrix) of stacked 3x3 matrices.
+
+    Row i of the result is the cross product of rows i-2 and i-1, exactly
+    as in reference `brutus/utils.py:71-83` (division-free inverse).
+    """
+    rows = [jnp.cross(A[..., i - 2, :], A[..., i - 1, :]) for i in range(3)]
+    return jnp.stack(rows, axis=-2)
+
+
+def inverse_transpose3(A):
+    """Inverse-transpose of stacked 3x3 matrices via adjugates.
+
+    Parity: reference `brutus/utils.py:96-105`.
+    """
+    Id = adjoint3(A)
+    det = jnp.einsum('...ij,...ij->...', Id, A) / 3.0
+    return Id / det[..., None, None]
+
+
+def inverse3(A):
+    """Inverse of stacked 3x3 matrices (reference `brutus/utils.py:108-114`)."""
+    return jnp.swapaxes(inverse_transpose3(A), -1, -2)
+
+
+def is_psd3(A, eps=0.0):
+    """Boolean mask of which stacked 3x3 symmetric matrices are PD.
+
+    The reference checks via a Cholesky try/except (`utils.py:117-127`);
+    here we use the leading-principal-minor (Sylvester) criterion, which
+    is branch-free and exact for 3x3.
+    """
+    m1 = A[..., 0, 0]
+    m2 = A[..., 0, 0] * A[..., 1, 1] - A[..., 0, 1] * A[..., 1, 0]
+    m3 = jnp.linalg.det(A)
+    return (m1 > eps) & (m2 > eps) & (m3 > eps)
+
+
+# ---------------------------------------------------------------------------
+# Statistical pdfs (parity: reference brutus/utils.py:130-283)
+# ---------------------------------------------------------------------------
+
+def chi2_logpdf(x, df, loc=0.0, scale=1.0):
+    """Log-PDF of the chi-square distribution.
+
+    Parity: reference `brutus/utils.py:130-176` (`_chisquare_logpdf`),
+    which replicates `scipy.stats.chi2.logpdf`.  `df` may be a traced
+    value (the reference relies on `Ndim - 3` which varies per star).
+    """
+    y = (jnp.asarray(x) - loc) / scale
+    halfdf = df / 2.0
+    safe_y = jnp.where(y > 0, y, 1.0)
+    ans = (-(halfdf * jnp.log(2.0) + gammaln(halfdf))
+           + (halfdf - 1.0) * jnp.log(safe_y) - safe_y / 2.0
+           - jnp.log(scale))
+    return jnp.where(y > 0, ans, -jnp.inf)
+
+
+def truncnorm_pdf(x, a, b, loc=0.0, scale=1.0):
+    """PDF of a truncated normal (reference `brutus/utils.py:179-229`).
+
+    `a`/`b` are the standardized cutoffs, as in `scipy.stats.truncnorm`.
+    """
+    x = jnp.asarray(x)
+    lo = scale * a + loc
+    hi = scale * b + loc
+    xi = (x - loc) / scale
+    phix = jnp.exp(-0.5 * xi ** 2) / jnp.sqrt(2.0 * jnp.pi)
+    Phia = 0.5 * (1 + erf(a / jnp.sqrt(2.0)))
+    Phib = 0.5 * (1 + erf(b / jnp.sqrt(2.0)))
+    ans = phix / (scale * (Phib - Phia))
+    return jnp.where((x < lo) | (x > hi), 0.0, ans)
+
+
+def truncnorm_logpdf(x, a, b, loc=0.0, scale=1.0):
+    """Log-PDF of a truncated normal (reference `brutus/utils.py:232-283`)."""
+    x = jnp.asarray(x)
+    lo = scale * a + loc
+    hi = scale * b + loc
+    xi = (x - loc) / scale
+    lnphi = -jnp.log(jnp.sqrt(2.0 * jnp.pi)) - 0.5 * jnp.square(xi)
+    lndenom = (jnp.log(scale / 2.0) +
+               jnp.log(erf(b / jnp.sqrt(2.0)) - erf(a / jnp.sqrt(2.0))))
+    ans = lnphi - lndenom
+    return jnp.where((x < lo) | (x > hi), -jnp.inf, ans)
+
+
+# ---------------------------------------------------------------------------
+# Weighted quantiles (parity: reference brutus/utils.py:718-762)
+# ---------------------------------------------------------------------------
+
+def quantile(x, q, weights=None):
+    """(Weighted) sample quantiles.
+
+    Parity: reference `brutus/utils.py:718-762`.  Unweighted falls back
+    to `jnp.percentile`; weighted interpolates the weighted CDF.
+    """
+    x = jnp.atleast_1d(x)
+    q = jnp.atleast_1d(q)
+    if weights is None:
+        return jnp.percentile(x, 100.0 * q)
+    weights = jnp.atleast_1d(weights)
+    idx = jnp.argsort(x)
+    sw = weights[idx]
+    cdf = jnp.cumsum(sw)[:-1]
+    cdf = cdf / cdf[-1]
+    cdf = jnp.concatenate([jnp.zeros(1, dtype=cdf.dtype), cdf])
+    return jnp.interp(q, cdf, x[idx])
+
+
+# ---------------------------------------------------------------------------
+# Batched MVN sampling (parity: reference brutus/utils.py:765-905)
+# ---------------------------------------------------------------------------
+
+def sample_multivariate_normal(key, mean, cov, size=1, eps=1e-30):
+    """Draw `size` samples from `N` different d-dimensional Gaussians.
+
+    Parity: reference `brutus/utils.py:845-905` (batched Cholesky of the
+    jittered covariances + standard-normal transform), with the stateful
+    numpy RNG replaced by a JAX PRNG key.
+
+    Parameters
+    ----------
+    mean : (N, d), cov : (N, d, d)
+
+    Returns
+    -------
+    samples : (d, size, N) — matching the reference's output layout.
+    """
+    N, d = mean.shape
+    K = cov + eps * jnp.eye(d, dtype=cov.dtype)
+    L = jnp.linalg.cholesky(K)
+    z = jax.random.normal(key, (N, d, size), dtype=mean.dtype)
+    ans = mean[:, :, None] + jnp.matmul(L, z)      # (N, d, size)
+    return jnp.moveaxis(ans, 0, -1)                # (d, size, N)
+
+
+def draw_sar(key, scales, avs, rvs, covs_sar, ndraws=500,
+             avlim=(0.0, 6.0), rvlim=(1.0, 8.0)):
+    """Truncated-MVN draws of `(s, Av, Rv)` per model.
+
+    The reference (`brutus/utils.py:765-842`) rejection-samples in a
+    Python while-loop until `ndraws` in-bounds draws accumulate.  The
+    TPU-native equivalent draws a fixed batch and replaces out-of-bounds
+    draws by resampling (with replacement) from the in-bounds set — the
+    same truncated distribution in the large-`ndraws` limit, with static
+    shapes.  Models with zero in-bounds draws fall back to clipped means.
+
+    Returns
+    -------
+    sdraws, adraws, rdraws : (Nsamps, Ndraws)
+    """
+    mean = jnp.stack([scales, avs, rvs], axis=-1)       # (N, 3)
+    kd, kr = jax.random.split(key)
+    samps = sample_multivariate_normal(kd, mean, covs_sar, size=ndraws)
+    s_mc, a_mc, r_mc = samps[0].T, samps[1].T, samps[2].T   # (N, ndraws)
+    inbounds = ((s_mc >= 0.0) &
+                (a_mc >= avlim[0]) & (a_mc <= avlim[1]) &
+                (r_mc >= rvlim[0]) & (r_mc <= rvlim[1]))
+    # Categorical resample indices from the in-bounds subset per model.
+    logits = jnp.where(inbounds, 0.0, -jnp.inf)
+    any_in = jnp.any(inbounds, axis=-1, keepdims=True)
+    logits = jnp.where(any_in, logits, 0.0)  # degenerate fallback: uniform
+    idx = jax.random.categorical(kr, logits[:, None, :], axis=-1,
+                                 shape=(s_mc.shape[0], ndraws))
+    take = lambda x: jnp.take_along_axis(x, idx, axis=-1)
+    s_out = jnp.where(inbounds, s_mc, take(s_mc))
+    a_out = jnp.where(inbounds, a_mc, take(a_mc))
+    r_out = jnp.where(inbounds, r_mc, take(r_mc))
+    # Total fallback when nothing is in bounds: clipped means.
+    s_out = jnp.where(any_in, s_out, jnp.maximum(mean[:, :1], 0.0))
+    a_out = jnp.where(any_in, a_out, jnp.clip(mean[:, 1:2], *avlim))
+    r_out = jnp.where(any_in, r_out, jnp.clip(mean[:, 2:3], *rvlim))
+    return s_out, a_out, r_out
+
+
+# ---------------------------------------------------------------------------
+# Simple photometric log-likelihood (parity: reference brutus/utils.py:1162)
+# ---------------------------------------------------------------------------
+
+def phot_loglike(data, data_err, data_mask, models, dim_prior=True):
+    """Masked chi-square log-likelihood of fluxes against model fluxes.
+
+    Parity: reference `brutus/utils.py:1162-1215`, recast with mask
+    weighting instead of boolean fancy-indexing (static shapes).
+
+    Parameters
+    ----------
+    data, data_err, data_mask : (Nfilt,)
+    models : (Nmodel, Nfilt)
+    """
+    mask = jnp.asarray(data_mask, dtype=models.dtype)
+    ndim = jnp.sum(mask)
+    tot_var = jnp.square(data_err)
+    safe_var = jnp.where(mask > 0, tot_var, 1.0)
+    resid = jnp.where(mask > 0, data - models, 0.0)
+    chi2 = jnp.sum(jnp.square(resid) / safe_var * mask, axis=-1)
+    lnl = -0.5 * chi2
+    lnl = lnl - 0.5 * (ndim * jnp.log(2.0 * jnp.pi) +
+                       jnp.sum(jnp.log(safe_var) * mask, axis=-1))
+    if dim_prior:
+        a = 0.5 * (ndim - 3)
+        lnl = ((a - 1.0) * jnp.where(chi2 > 0, jnp.log(jnp.where(chi2 > 0, chi2, 1.0)), 0.0)
+               - chi2 / 2.0 - gammaln(a) - jnp.log(2.0) * a)
+    return lnl
+
+
+__all__ = [
+    "magnitude", "inv_magnitude", "luptitude", "inv_luptitude", "add_mag",
+    "adjoint3", "inverse3", "inverse_transpose3", "is_psd3",
+    "chi2_logpdf", "truncnorm_pdf", "truncnorm_logpdf",
+    "quantile", "sample_multivariate_normal", "draw_sar", "phot_loglike",
+]
