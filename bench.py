@@ -1,0 +1,130 @@
+"""
+Headline benchmark: per-star fit throughput against a full-size
+(~750k-model) MIST-like grid — the workload of the reference's
+"Overview 3" demo (1.716 s/obj on one CPU core; see BASELINE.md).
+
+Measures the FULL per-star pipeline on synthetic data with the
+reference's default settings: magnitude-phase optimization, damped
+flux-phase iteration, MLE (s, Av, Rv) + 3x3 precisions, parallax +
+Galactic + dust priors, Monte-Carlo posterior integration
+(Nmc_prior=50), and 250 posterior draws per star.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": stars/s, "unit": "stars/s",
+   "vs_baseline": speedup over the reference's 1.716 s/obj}
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_problem(n_model, n_filt, n_star, seed=0, dtype="float32"):
+    rng = np.random.default_rng(seed)
+    mc = np.stack([rng.uniform(8.0, 16.0, (n_model, n_filt)),
+                   rng.uniform(0.4, 1.1, (n_model, n_filt)),
+                   rng.uniform(0.05, 0.2, (n_model, n_filt))],
+                  axis=-1).astype(dtype)
+    idx = rng.integers(0, n_model, n_star)
+    av = rng.uniform(0.1, 1.5, n_star)
+    rv = rng.uniform(2.8, 3.8, n_star)
+    dist = rng.uniform(0.3, 3.0, n_star)
+    sed = (mc[idx, :, 0] + av[:, None] * (mc[idx, :, 1]
+                                          + rv[:, None] * mc[idx, :, 2]))
+    flux = 10 ** (-0.4 * sed) / dist[:, None] ** 2
+    err = flux / 60.0
+    flux = (flux + rng.normal(size=flux.shape) * err).astype(dtype)
+    feh = rng.uniform(-2.0, 0.3, n_model)
+    loga = rng.uniform(8.0, 10.1, n_model)
+    parallax = (1.0 / dist + rng.normal(size=n_star) * 0.05 / dist)
+    return (mc, flux, err.astype(dtype), idx, feh, loga,
+            parallax.astype(dtype), (0.1 * parallax).astype(dtype))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny CPU-friendly smoke run")
+    ap.add_argument("--models", type=int, default=750_000)
+    ap.add_argument("--filters", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--nmc", type=int, default=50)
+    ap.add_argument("--ndraws", type=int, default=250)
+    ap.add_argument("--nsel", type=int, default=4096)
+    args = ap.parse_args()
+
+    if args.smoke:
+        args.models, args.batch, args.iters = 2048, 4, 2
+        args.nsel = 256
+
+    import jax
+    import jax.numpy as jnp
+    from brutus_tpu.config import FitConfig, PosteriorConfig
+    from brutus_tpu.ops.optimize import loglike_grid
+    from brutus_tpu.ops.posterior import lnpost_grid
+
+    M, F, B = args.models, args.filters, args.batch
+    (mc, flux, err, idx, feh, loga,
+     parallax, parallax_err) = build_problem(M, F, B, seed=0)
+    coord = jnp.asarray([204.7, -19.2], jnp.float32)
+    dust_dist = jnp.linspace(0.05, 10.0, 120, dtype=jnp.float32)
+    dust_mean = jnp.linspace(0.0, 1.5, 120, dtype=jnp.float32)
+    dust_std = jnp.full(120, 0.2, jnp.float32)
+
+    fit_cfg = FitConfig()
+    post_cfg = PosteriorConfig(n_mc_prior=args.nmc, n_draws=args.ndraws,
+                               n_sel_max=min(args.nsel, M))
+
+    mc_d = jnp.asarray(mc)
+    feh_d = jnp.asarray(feh, mc_d.dtype)
+    loga_d = jnp.asarray(loga, mc_d.dtype)
+    lnprior = jnp.zeros(M, mc_d.dtype)
+
+    def star_step(key, f, e, plx, plx_err):
+        res = loglike_grid(f, e, jnp.ones_like(f, bool), mc_d,
+                           parallax=plx, parallax_err=plx_err, cfg=fit_cfg)
+        return lnpost_grid(key, res, lnprior, coord,
+                           parallax=plx, parallax_err=plx_err,
+                           feh=feh_d, loga=loga_d,
+                           dust_profile=(dust_dist, dust_mean, dust_std),
+                           cfg=post_cfg)
+
+    step = jax.jit(jax.vmap(star_step, in_axes=(0, 0, 0, 0, 0)))
+
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    fx, ex = jnp.asarray(flux), jnp.asarray(err)
+    px, pxe = jnp.asarray(parallax), jnp.asarray(parallax_err)
+
+    # Warm-up / compile.
+    out = step(keys, fx, ex, px, pxe)
+    jax.block_until_ready(out)
+    ok = np.isfinite(np.asarray(out["log_evidence"])).all()
+    hit = (np.asarray(out["model_idx"]) == idx[:, None]).mean()
+    print(f"# devices={jax.devices()} M={M} F={F} B={B} "
+          f"finite_evid={ok} true_model_hit_rate={hit:.2f}",
+          file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        keys = jax.random.split(jax.random.PRNGKey(i + 1), B)
+        out = step(keys, fx, ex, px, pxe)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    stars_per_sec = B * args.iters / dt
+    ref_secs_per_star = 1.716          # BASELINE.md, Overview 3 MIST grid
+    result = {
+        "metric": f"stars_per_sec_full_fit_{M//1000}k_models",
+        "value": round(stars_per_sec, 3),
+        "unit": "stars/s",
+        "vs_baseline": round(stars_per_sec * ref_secs_per_star, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,383 @@
+"""
+Batch brute-force fitter.
+
+Parity: reference `brutus/fitting.py:1110-2065` (`BruteForce`), with the
+serial per-star generator loop (fitting.py:1685, 1980) replaced by a
+jitted, vmapped star-batch program:
+
+    stars  (batch axis)  -> vmap, shardable over the mesh 'data' axis
+    models (grid axis)   -> dense, shardable over the mesh 'model' axis
+    draws/posterior      -> fixed-size top-k + categorical resampling
+
+Host responsibilities (setup, dust-map lookup, HDF5 output, progress,
+resume) stay in numpy; everything per-star x per-model runs on device.
+"""
+
+import sys
+import time
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import (FitConfig, PosteriorConfig, GalPriorConfig,
+                     DustPriorConfig)
+from .io import ResultsWriter
+from .ops.optimize import loglike_grid
+from .ops.posterior import lnpost_grid
+from .priors import imf_lnprior, ps1_MrLF_lnprior
+from .utils import magnitude
+from .dustmap import Bayestar
+
+# Re-exported functional API (parity with reference `loglike`/`lnpost`).
+loglike = loglike_grid
+lnpost = lnpost_grid
+
+
+def default_grid_lnprior(models_labels, labels_mask=None,
+                         apply_agewt=True, apply_grad=True):
+    """Static per-model grid log-prior.
+
+    Parity: reference `brutus/fitting.py:1334-1359`:
+      * Kroupa IMF over `mini` (MIST grids) else PS1 M_r luminosity
+        function (Bayestar grids),
+      * d(age)/d(EEP) reweighting via the `agewt` label,
+      * grid-spacing (trapezoidal measure) reweighting per input label.
+    """
+    names = models_labels.dtype.names
+    if "mini" in names:
+        lnprior = np.asarray(imf_lnprior(models_labels["mini"]))
+    elif "Mr" in names:
+        lnprior = np.asarray(ps1_MrLF_lnprior(models_labels["Mr"]))
+    else:
+        lnprior = np.zeros(len(models_labels))
+
+    if apply_agewt and "agewt" in names:
+        with np.errstate(divide="ignore"):
+            lnprior = lnprior + np.log(np.abs(models_labels["agewt"]))
+
+    if apply_grad:
+        for name in names:
+            if labels_mask is not None and name in labels_mask.dtype.names \
+                    and not labels_mask[name][0]:
+                continue
+            vals = models_labels[name]
+            uvals = np.unique(vals)
+            if len(uvals) > 1:
+                lngrad = np.log(np.gradient(uvals))
+                lnprior = lnprior + np.interp(vals, uvals, lngrad)
+    return lnprior
+
+
+class BruteForce:
+    """Grid-scan fitter over `(Nmodel, Nfilt, 3)` magnitude coefficients.
+
+    Parity: reference `brutus/fitting.py:1110-1142`.
+    """
+
+    def __init__(self, models, models_labels, labels_mask=None,
+                 dtype=None):
+        self.NMODEL, self.NDIM, self.NCOEF = models.shape
+        self.models = np.asarray(models)
+        if dtype is not None:
+            self.models = self.models.astype(dtype)
+        self.models_labels = models_labels
+        self.labels_mask = labels_mask
+        self.NLABELS = len(models_labels.dtype.names)
+
+    # -- setup ------------------------------------------------------------
+
+    def _setup(self, data, data_err, data_mask, phot_offsets=None,
+               parallax=None, parallax_err=None, lnprior=None,
+               apply_agewt=True, apply_grad=True, data_coords=None,
+               mag_max=50.0, merr_max=0.25):
+        """Data hygiene + default priors.
+
+        Parity: reference `brutus/fitting.py:1144-1424` (the parts that
+        are not obsoleted by static-shape execution).
+        """
+        data = np.ascontiguousarray(data, dtype=float)
+        data_err = np.ascontiguousarray(data_err, dtype=float)
+        data_mask = np.ascontiguousarray(data_mask).astype(bool)
+        n_data, n_filt = data.shape
+        if n_filt != self.NDIM:
+            raise ValueError(f"data has {n_filt} bands but the grid has "
+                             f"{self.NDIM}")
+
+        if parallax is not None and parallax_err is None:
+            raise ValueError("must provide both `parallax` and "
+                             "`parallax_err`")
+        if parallax is None:
+            parallax = np.full(n_data, np.nan)
+            parallax_err = np.full(n_data, np.nan)
+
+        if phot_offsets is None:
+            phot_offsets = np.ones(n_filt)
+
+        if lnprior is None:
+            lnprior = default_grid_lnprior(self.models_labels,
+                                           self.labels_mask,
+                                           apply_agewt=apply_agewt,
+                                           apply_grad=apply_grad)
+
+        if data_coords is None:
+            data_coords = np.zeros((n_data, 2))
+
+        # Remove bad photometry the user may not have masked
+        # (fitting.py:1404-1420).
+        with warnings.catch_warnings(), np.errstate(all="ignore"):
+            warnings.simplefilter("ignore")
+            mag, err = [np.asarray(v) for v in magnitude(data, data_err)]
+            bad_mag = (mag > mag_max) | (err > merr_max)
+            clean = (np.isfinite(data) & np.isfinite(data_err)
+                     & (data_err > 0.0))
+            data_mask = data_mask & clean & ~bad_mag
+
+        if np.any(data_mask.sum(axis=1) < 4):
+            raise ValueError(
+                "Objects with fewer than 4 bands of acceptable photometry "
+                "give degenerate fits; remove them or adjust "
+                "`mag_max`/`merr_max`.")
+
+        return (data * phot_offsets, data_err * phot_offsets, data_mask,
+                np.asarray(parallax, dtype=float),
+                np.asarray(parallax_err, dtype=float),
+                np.asarray(data_coords, dtype=float),
+                np.asarray(lnprior, dtype=float))
+
+    # -- compiled batch step ----------------------------------------------
+
+    def _build_step(self, fit_cfg, post_cfg, gal_cfg, dust_cfg,
+                    apply_av_prior, apply_dlabels, device_models,
+                    lnprior_dev, feh=None, loga=None, has_ext=False):
+
+        def star_step(key, flux, err, mask, plx, plx_err, coord,
+                      dust_mean, dust_std, dust_dist, ext_lnl):
+            res = loglike_grid(flux, err, mask, device_models,
+                               parallax=plx, parallax_err=plx_err,
+                               cfg=fit_cfg)
+            if ext_lnl is not None:
+                res = dict(res)
+                res["lnlike"] = res["lnlike"] + ext_lnl
+            profile = ((dust_dist, dust_mean, dust_std)
+                       if dust_mean is not None else None)
+            return lnpost_grid(key, res, lnprior_dev, coord,
+                               parallax=plx, parallax_err=plx_err,
+                               feh=feh, loga=loga, dust_profile=profile,
+                               cfg=post_cfg, gal_cfg=gal_cfg,
+                               dust_cfg=dust_cfg,
+                               apply_av_prior=apply_av_prior)
+
+        in_axes = (0, 0, 0, 0, 0, 0, 0,
+                   0 if apply_av_prior else None,
+                   0 if apply_av_prior else None,
+                   None,
+                   0 if has_ext else None)
+        step = jax.vmap(star_step, in_axes=in_axes)
+        return jax.jit(step)
+
+    # -- public API -------------------------------------------------------
+
+    def fit(self, data, data_err, data_mask, data_labels=None,
+            save_file=None,
+            phot_offsets=None, parallax=None, parallax_err=None,
+            Nmc_prior=50, avlim=(0.0, 20.0), av_gauss=None,
+            rvlim=(1.0, 8.0), rv_gauss=(3.32, 0.18),
+            lnprior=None, lnprior_ext=None,
+            wt_thresh=1e-3, cdf_thresh=2e-3, Ndraws=250,
+            apply_agewt=True, apply_grad=True,
+            lngalprior_cfg=None, dustfile=None, dustmap=None,
+            dust_cfg=None, apply_dlabels=True, data_coords=None,
+            logl_dim_prior=True, ltol=3e-2, ltol_subthresh=1e-2,
+            logl_initthresh=5e-3, mag_max=50.0, merr_max=0.25,
+            save_dar_draws=True, running_io=True, verbose=True,
+            batch_size=16, n_sel_max=4096, seed=0, resume=False,
+            return_results=False, mesh=None):
+        """Fit every star against the grid and write the results file.
+
+        Parity: reference `brutus/fitting.py:1426-1801` (same defaults,
+        same output schema).  TPU-specific knobs: `batch_size` (stars
+        per compiled step), `n_sel_max` (fixed top-k model count
+        replacing `mem_lim`), `seed` (threefry key), `resume`
+        (restart from a partial results file).
+        """
+        (data, data_err, data_mask, parallax, parallax_err, data_coords,
+         lnprior) = self._setup(data, data_err, data_mask,
+                                phot_offsets=phot_offsets,
+                                parallax=parallax,
+                                parallax_err=parallax_err,
+                                lnprior=lnprior, apply_agewt=apply_agewt,
+                                apply_grad=apply_grad,
+                                data_coords=data_coords,
+                                mag_max=mag_max, merr_max=merr_max)
+        n_data, n_filt = data.shape
+
+        # Configs (static / hashable).
+        if av_gauss is None:
+            av_gauss_eff = (0.0, 1e6)
+        else:
+            av_gauss_eff = tuple(av_gauss)
+        fit_cfg = FitConfig(avlim=tuple(avlim), av_gauss=av_gauss_eff,
+                            rvlim=tuple(rvlim), rv_gauss=tuple(rv_gauss),
+                            ltol=ltol, ltol_subthresh=ltol_subthresh,
+                            init_thresh=logl_initthresh,
+                            dim_prior=logl_dim_prior)
+        post_cfg = PosteriorConfig(n_mc_prior=Nmc_prior,
+                                   wt_thresh=wt_thresh,
+                                   cdf_thresh=cdf_thresh, n_draws=Ndraws,
+                                   avlim=tuple(avlim), rvlim=tuple(rvlim),
+                                   n_sel_max=min(n_sel_max, self.NMODEL))
+        gal_cfg = lngalprior_cfg or GalPriorConfig()
+        dust_cfg = dust_cfg or DustPriorConfig()
+
+        # Dust map: host-side per-star LOS profiles
+        # (fitting.py:1368-1395 + pdf.py:812-820).
+        if dustmap is None and dustfile is not None:
+            dustmap = Bayestar(dustfile)
+        apply_av_prior = (dustmap is not None) and (av_gauss is None)
+        if apply_av_prior:
+            dust_dist, dust_mean, dust_std = dustmap.query(
+                (data_coords[:, 0], data_coords[:, 1]))
+            dust_mean = np.atleast_2d(dust_mean)
+            dust_std = np.atleast_2d(dust_std)
+            dust_dist = jnp.asarray(dust_dist)
+        else:
+            dust_dist = dust_mean = dust_std = None
+
+        # External per-object Gaussian label priors
+        # (fitting.py:1970-2009): precompute (Ndata, Nmodel) additions.
+        ext_lnl = None
+        if lnprior_ext is not None:
+            names = self.models_labels.dtype.names
+            for k in lnprior_ext:
+                if k not in names:
+                    raise ValueError(f"`lnprior_ext` key {k!r} does not "
+                                     "match any model label")
+            ext_lnl = np.zeros((n_data, self.NMODEL), dtype=np.float32)
+            for k, pars in lnprior_ext.items():
+                pars = np.asarray(pars, dtype=float)
+                mean, std = pars[:, 0], pars[:, 1]
+                ok = np.isfinite(mean) & (std > 0)
+                lab = np.asarray(self.models_labels[k], dtype=float)
+                chi2 = (lab[None, :] - np.where(ok, mean, 0.0)[:, None]) ** 2
+                ivar = np.where(ok, 1.0 / np.where(ok, std, 1.0) ** 2,
+                                0.0)[:, None]
+                const = np.where(ok, np.log(2 * np.pi *
+                                            np.where(ok, std, 1.0) ** 2),
+                                 0.0)[:, None]
+                ext_lnl += np.where(ok[:, None],
+                                    -0.5 * (chi2 * ivar + const), 0.0)
+
+        # Per-model label arrays consumed by the Galactic prior
+        # (reference `dlabels`, fitting.py:1966-1969).
+        names = self.models_labels.dtype.names
+        feh_arr = (np.asarray(self.models_labels["feh"], dtype=float)
+                   if apply_dlabels and "feh" in names else None)
+        loga_arr = (np.asarray(self.models_labels["loga"], dtype=float)
+                    if apply_dlabels and "loga" in names else None)
+
+        if mesh is not None:
+            from .parallel import shard_grid, data_sharding
+            if batch_size % mesh.shape["data"] != 0:
+                raise ValueError("batch_size must be divisible by the "
+                                 "mesh 'data' axis size")
+            (device_models, (lnprior_dev, feh_dev, loga_dev),
+             _) = shard_grid(mesh, self.models.astype(self.models.dtype),
+                             lnprior.astype(self.models.dtype),
+                             feh_arr, loga_arr)
+            batch_shard = data_sharding(mesh)
+        else:
+            device_models = jnp.asarray(self.models)
+            lnprior_dev = jnp.asarray(lnprior, device_models.dtype)
+            feh_dev = (jnp.asarray(feh_arr, device_models.dtype)
+                       if feh_arr is not None else None)
+            loga_dev = (jnp.asarray(loga_arr, device_models.dtype)
+                        if loga_arr is not None else None)
+            batch_shard = None
+        step = self._build_step(fit_cfg, post_cfg, gal_cfg, dust_cfg,
+                                apply_av_prior, apply_dlabels,
+                                device_models, lnprior_dev,
+                                feh=feh_dev, loga=loga_dev,
+                                has_ext=ext_lnl is not None)
+
+        writer = None
+        if save_file is not None:
+            writer = ResultsWriter(save_file, n_data, Ndraws,
+                                   labels=data_labels,
+                                   save_dar_draws=save_dar_draws,
+                                   resume=resume)
+        start_row = writer.cursor if (writer is not None and resume) else 0
+
+        root_key = jax.random.PRNGKey(seed)
+        collected = [] if return_results else None
+        t_start = time.time()
+        n_done = 0
+        for lo in range(start_row, n_data, batch_size):
+            hi = min(lo + batch_size, n_data)
+            n = hi - lo
+            pad = batch_size - n
+            sl = slice(lo, hi)
+
+            def pad_batch(x):
+                x = np.asarray(x[sl])
+                if pad:
+                    x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+                if batch_shard is not None:
+                    return jax.device_put(x, batch_shard)
+                return jnp.asarray(x)
+
+            keys = jax.vmap(jax.random.fold_in, (None, 0))(
+                root_key, jnp.arange(lo, lo + batch_size))
+            args = (keys, pad_batch(data), pad_batch(data_err),
+                    pad_batch(data_mask), pad_batch(parallax),
+                    pad_batch(parallax_err), pad_batch(data_coords),
+                    pad_batch(dust_mean) if apply_av_prior else None,
+                    pad_batch(dust_std) if apply_av_prior else None,
+                    dust_dist,
+                    pad_batch(ext_lnl) if ext_lnl is not None else None)
+            out = step(*args)
+            out = {k: np.asarray(v) for k, v in out.items()}
+
+            if writer is not None:
+                writer.write_batch(lo, out, n_valid=n)
+            if collected is not None:
+                collected.append({k: v[:n] for k, v in out.items()})
+
+            n_done += n
+            if verbose:
+                dt = time.time() - t_start
+                rate = dt / max(n_done, 1)
+                remain = rate * (n_data - start_row - n_done)
+                sys.stderr.write(
+                    f"\rFitting object {start_row + n_done}/{n_data} "
+                    f"[chi2/n: {out['chi2min'][n - 1]:.1f}/"
+                    f"{out['ndim'][n - 1]}] "
+                    f"(mean time: {rate:.3f} s/obj, "
+                    f"est. remaining: {remain:.1f} s)   ")
+                sys.stderr.flush()
+        if verbose:
+            sys.stderr.write("\n")
+        if writer is not None:
+            writer.close()
+        if collected is not None:
+            return {k: np.concatenate([c[k] for c in collected])
+                    for k in collected[0]}
+
+    def _fit(self, data, data_err, data_mask, **kwargs):
+        """Per-object generator (API parity with reference
+        `brutus/fitting.py:1803-2065`); yields the reference's
+        13-tuple per star."""
+        kwargs.setdefault("save_file", None)
+        kwargs["return_results"] = True
+        kwargs.setdefault("verbose", False)
+        out = self.fit(data, data_err, data_mask, **kwargs)
+        for i in range(len(data)):
+            yield (out["model_idx"][i], out["scale"][i], out["av"][i],
+                   out["rv"][i], out["cov_sar"][i], out["ndim"][i],
+                   out["lnprob"][i], out["log_evidence"][i],
+                   out["chi2min"][i], out["dist"][i], out["red"][i],
+                   out["dred"][i], out["logwt"][i])
+
+
+__all__ = ["BruteForce", "loglike", "lnpost", "default_grid_lnprior"]

@@ -1,0 +1,208 @@
+"""
+Posterior integration and resampling for one star.
+
+Parity: reference `brutus/fitting.py:823-1107` (`lnpost`) plus the
+resampling tail of `BruteForce._fit` (`brutus/fitting.py:2024-2061`).
+
+TPU-first redesign of the reference's dynamic-shape pipeline:
+  * The two relative-weight culls become masks.
+  * The dynamic memory cap (`Nsel_max = mem_lim/Nmc/4e-4`,
+    fitting.py:968-970) becomes a fixed-size `lax.top_k` selection of
+    the `n_sel_max` best models — everything downstream is dense
+    `(K,)` / `(K, Nmc)` tensors.
+  * The PSD-repair `while` loop (fitting.py:1042-1065) becomes a fixed
+    number of masked escalation passes with a branch-free 3x3
+    positive-definiteness test.
+  * numpy RNG draws become stateless `jax.random` calls (threefry).
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import logsumexp
+
+from ..config import PosteriorConfig, GalPriorConfig, DustPriorConfig
+from ..utils import inverse3, is_psd3
+from ..priors import (gal_lnprior, dust_lnprior, parallax_lnprior,
+                      scale_parallax_lnprior)
+
+NEG_BIG = -1e30
+
+
+def _psd_repair(icov, cov, scale, valid, cfg: PosteriorConfig):
+    """Escalating diagonal-prior repair of non-PSD covariances.
+
+    Parity: reference `brutus/fitting.py:1042-1065`.  Each pass adds
+    `count / width^2` to the diagonal entries flagged non-positive
+    (count doubling per pass; the scale entry uses a fractional width
+    `scale * width`), then re-inverts.
+    """
+    width = cfg.psd_width
+    sfrac = scale * width
+
+    def body(i, carry):
+        icov, cov = carry
+        count = 2.0 ** i
+        not_psd = (~is_psd3(cov)) & valid
+        d1 = cov[:, 0, 0] <= 0
+        d2 = cov[:, 1, 1] <= 0
+        d3 = cov[:, 2, 2] <= 0
+        s1 = d1.astype(cov.dtype) + ((~d2) & (~d3)).astype(cov.dtype)
+        s2 = d2.astype(cov.dtype) + ((~d1) & (~d3)).astype(cov.dtype)
+        s3 = d3.astype(cov.dtype) + ((~d1) & (~d2)).astype(cov.dtype)
+        diag = jnp.stack([count / sfrac ** 2 * s1,
+                          count / width ** 2 * s2,
+                          count / width ** 2 * s3], axis=-1)
+        add = jax.vmap(jnp.diag)(diag)
+        icov = jnp.where(not_psd[:, None, None], icov + add, icov)
+        cov = jnp.where(not_psd[:, None, None], inverse3(icov), cov)
+        return icov, cov
+
+    icov, cov = jax.lax.fori_loop(0, cfg.psd_max_passes, body, (icov, cov))
+    return icov, cov
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "gal_cfg", "dust_cfg", "apply_av_prior"))
+def lnpost_grid(key, results, lnprior_grid, coord,
+                parallax=jnp.nan, parallax_err=jnp.nan,
+                feh=None, loga=None,
+                dust_profile=None,
+                cfg: PosteriorConfig = PosteriorConfig(),
+                gal_cfg: GalPriorConfig = GalPriorConfig(),
+                dust_cfg: DustPriorConfig = DustPriorConfig(),
+                apply_av_prior=True):
+    """Posterior weights + Monte-Carlo `(dist, Av, Rv)` draws for one star.
+
+    Parameters
+    ----------
+    key : PRNG key.
+    results : dict from `loglike_grid` (`lnlike, ndim, chi2, scale, av,
+        rv, icov_sar`), shapes `(M, ...)`.
+    lnprior_grid : (M,) static grid log-prior (IMF/LF + age/grad weights).
+    coord : (2,) galactic `(l, b)` degrees.
+    feh, loga : optional (M,) model labels for the Galactic mixture priors.
+    dust_profile : optional tuple `(av_dist, av_mean, av_std)` of the
+        line-of-sight dust profile from `dustmap.Bayestar.query`.
+
+    Returns
+    -------
+    dict with per-draw outputs (`model_idx, scale, av, rv, cov_sar,
+    lnprob, dist, red, dred, logwt` of leading dim `n_draws`) and
+    per-star scalars (`log_evidence, chi2min, ndim`), plus the top-K
+    diagnostics (`sel_idx, lnp_sel, valid_sel`).
+    """
+    lnlike = results["lnlike"]
+    chi2 = results["chi2"]
+    scale = results["scale"]
+    av = results["av"]
+    rv = results["rv"]
+    icov = results["icov_sar"]
+    ndim = results["ndim"]
+    dtype = lnlike.dtype
+    M = lnlike.shape[0]
+    K = min(cfg.n_sel_max, M)
+    Nmc = cfg.n_mc_prior
+    ln_wt_thresh = math.log(cfg.wt_thresh)
+
+    # --- rough parallax prior in scale space for clipping
+    # (fitting.py:975-985) ---
+    scale_err = 1.0 / jnp.sqrt(jnp.abs(icov[:, 0, 0]))
+    lnprob = lnlike + scale_parallax_lnprior(scale, scale_err,
+                                             parallax, parallax_err)
+    lnprob = jnp.where(jnp.isfinite(lnprob), lnprob, NEG_BIG)
+
+    # --- cull #1 on likelihood (+parallax) (fitting.py:987-997) ---
+    mask1 = lnprob > jnp.max(lnprob) + ln_wt_thresh
+
+    # --- MLE-solution priors (fitting.py:999-1010) ---
+    dist = 1.0 / jnp.sqrt(jnp.maximum(scale, 1e-300))
+    lnp_mle = lnlike + lnprior_grid
+    lnp_mle = lnp_mle + gal_lnprior(dist, coord, feh=feh, loga=loga,
+                                    cfg=gal_cfg)
+    if apply_av_prior and dust_profile is not None:
+        av_dist, av_mean, av_std = dust_profile
+        lnp_mle = lnp_mle + dust_lnprior(dist, av, av_dist, av_mean,
+                                         av_std, dust_cfg)
+    lnp_mle = jnp.where(mask1 & jnp.isfinite(lnp_mle), lnp_mle, NEG_BIG)
+
+    # --- cull #2 on posterior, then re-base to lnlike + static prior
+    # (fitting.py:1012-1023) ---
+    mask2 = mask1 & (lnp_mle > jnp.max(lnp_mle) + ln_wt_thresh)
+    score = jnp.where(mask2, lnlike + lnprior_grid, -jnp.inf)
+
+    # --- fixed-size top-K selection (replaces the memory cap,
+    # fitting.py:1029-1036) ---
+    lnp_sel, sel_idx = jax.lax.top_k(score, K)
+    valid = jnp.isfinite(lnp_sel)
+    lnp_sel = jnp.where(valid, lnp_sel, NEG_BIG)
+    take = lambda x: x[sel_idx]
+    scale_k, av_k, rv_k = take(scale), take(av), take(rv)
+    icov_k = take(icov)
+    chi2_k = take(chi2)
+    feh_k = take(feh) if feh is not None else None
+    loga_k = take(loga) if loga is not None else None
+
+    # --- covariances + PSD repair (fitting.py:1039-1065) ---
+    cov_k = inverse3(icov_k)
+    icov_k, cov_k = _psd_repair(icov_k, cov_k, scale_k, valid, cfg)
+
+    # --- MC integration over the (s, Av, Rv) Gaussians
+    # (fitting.py:1068-1098) ---
+    kmvn, kidx, kmc = jax.random.split(key, 3)
+    mean = jnp.stack([scale_k, av_k, rv_k], axis=-1)          # (K, 3)
+    L = jnp.linalg.cholesky(cov_k + cfg.mvn_eps * jnp.eye(3, dtype=dtype))
+    z = jax.random.normal(kmvn, (K, 3, Nmc), dtype=dtype)
+    samps = mean[:, :, None] + L @ z                          # (K, 3, Nmc)
+    s_mc, a_mc, r_mc = samps[:, 0], samps[:, 1], samps[:, 2]  # (K, Nmc)
+
+    par_mc = jnp.sqrt(jnp.maximum(s_mc, 1e-300))
+    dist_mc = 1.0 / par_mc
+    lnp_mc = gal_lnprior(dist_mc, coord,
+                         feh=(feh_k[:, None] if feh_k is not None else None),
+                         loga=(loga_k[:, None]
+                               if loga_k is not None else None),
+                         cfg=gal_cfg)
+    if apply_av_prior and dust_profile is not None:
+        lnp_mc = lnp_mc + dust_lnprior(dist_mc, a_mc, av_dist, av_mean,
+                                       av_std, dust_cfg)
+    lnp_mc = lnp_mc + parallax_lnprior(par_mc, parallax, parallax_err)
+    inbounds = ((s_mc >= 1e-20) &
+                (a_mc >= cfg.avlim[0]) & (a_mc <= cfg.avlim[1]) &
+                (r_mc >= cfg.rvlim[0]) & (r_mc <= cfg.rvlim[1]))
+    lnp_mc = jnp.where(inbounds & jnp.isfinite(lnp_mc), lnp_mc, NEG_BIG)
+    n_eff = jnp.sum(inbounds, axis=1)
+    lnp_sel = lnp_sel + logsumexp(lnp_mc, axis=1) - jnp.log(
+        jnp.maximum(n_eff, 1))
+    lnp_sel = jnp.where(valid & jnp.isfinite(lnp_sel) & (n_eff > 0),
+                        lnp_sel, NEG_BIG)
+
+    # --- evidence, chi2 bookkeeping (fitting.py:2024-2034) ---
+    log_evid = logsumexp(lnp_sel)
+    have_plx = jnp.isfinite(parallax) & jnp.isfinite(parallax_err)
+    perr_safe = jnp.where(have_plx, parallax_err, 1.0)
+    chi2_k = chi2_k + jnp.where(
+        have_plx, (jnp.sqrt(scale_k) - parallax) ** 2 / perr_safe ** 2, 0.0)
+    ndim_out = ndim + have_plx.astype(ndim.dtype)
+    chi2min = jnp.min(jnp.where(valid, chi2_k, jnp.inf))
+
+    # --- weighted categorical resampling (fitting.py:2035-2057) ---
+    idxs = jax.random.categorical(kidx, lnp_sel, shape=(cfg.n_draws,))
+    imc = jax.random.categorical(kmc, lnp_mc[idxs], axis=-1)
+    gat = lambda x: x[idxs]
+    draw = lambda x: x[idxs, imc]
+
+    return dict(
+        model_idx=sel_idx[idxs],
+        scale=gat(scale_k), av=gat(av_k), rv=gat(rv_k),
+        cov_sar=gat(cov_k), lnprob=gat(lnp_sel),
+        dist=draw(dist_mc), red=draw(a_mc), dred=draw(r_mc),
+        logwt=draw(lnp_mc),
+        log_evidence=log_evid, chi2min=chi2min, ndim=ndim_out,
+        sel_idx=sel_idx, lnp_sel=lnp_sel, valid_sel=valid,
+    )
+
+
+__all__ = ["lnpost_grid"]

@@ -1,0 +1,218 @@
+"""End-to-end tests of the posterior stage and the BruteForce fitter."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from brutus_tpu import healpix
+from brutus_tpu.config import FitConfig, PosteriorConfig
+from brutus_tpu.dustmap import Bayestar, write_bayestar_file
+from brutus_tpu.fitting import BruteForce
+from brutus_tpu.io import load_results
+from brutus_tpu.ops.optimize import loglike_grid
+from brutus_tpu.ops.posterior import lnpost_grid, _psd_repair
+from brutus_tpu.utils import inverse3, is_psd3
+
+rng = np.random.default_rng(11)
+
+NMODEL, NFILT = 256, 8
+COORD = np.array([204.7, -19.2])
+
+
+def make_grid():
+    """Synthetic grid with apparent mags at the 1 kpc reference distance."""
+    mags = rng.uniform(8.0, 16.0, size=(NMODEL, NFILT))
+    r0 = rng.uniform(0.4, 1.1, size=(NMODEL, NFILT))
+    dr = rng.uniform(0.05, 0.2, size=(NMODEL, NFILT))
+    mc = np.stack([mags, r0, dr], axis=-1)
+    ltype = np.dtype([("mini", float), ("feh", float), ("loga", float),
+                      ("agewt", float)])
+    labels = np.zeros(NMODEL, dtype=ltype)
+    labels["mini"] = rng.uniform(0.5, 2.0, NMODEL)
+    labels["feh"] = rng.uniform(-2.0, 0.3, NMODEL)
+    labels["loga"] = rng.uniform(8.0, 10.1, NMODEL)
+    labels["agewt"] = rng.uniform(0.5, 2.0, NMODEL)
+    mask = np.ones(1, dtype=np.dtype([(n, bool) for n in
+                                      ("mini", "feh", "loga", "agewt")]))
+    return mc, labels, mask
+
+
+def make_star(mc, idx, av, rv, dist_kpc, snr=80.0):
+    sed = mc[idx, :, 0] + av * (mc[idx, :, 1] + rv * mc[idx, :, 2])
+    flux = 10 ** (-0.4 * sed) / dist_kpc ** 2
+    err = flux / snr
+    return flux + rng.normal(size=NFILT) * err, err
+
+
+MC, LABELS, LMASK = make_grid()
+
+
+def test_psd_repair():
+    # Build broken (non-PSD) "precisions": negative cross-dominated.
+    icov = np.tile(np.array([[4.0, 5.0, 0.0],
+                             [5.0, 4.0, 0.0],
+                             [0.0, 0.0, 2.0]]), (6, 1, 1))
+    icov = jnp.asarray(icov)
+    cov = inverse3(icov)
+    assert not bool(is_psd3(cov).any())
+    scale = jnp.ones(6)
+    valid = jnp.ones(6, bool)
+    icov2, cov2 = _psd_repair(icov, cov, scale, valid, PosteriorConfig())
+    assert bool(is_psd3(cov2).all())
+    eig = np.linalg.eigvalsh(np.asarray(cov2))
+    assert (eig > 0).all()
+
+
+def test_lnpost_posterior_recovery(tmp_path):
+    true_idx, true_av, true_rv, true_d = 71, 0.6, 3.3, 1.4
+    flux, err = make_star(MC, true_idx, true_av, true_rv, true_d)
+    mask = np.ones(NFILT, bool)
+
+    res = loglike_grid(jnp.asarray(flux), jnp.asarray(err),
+                       jnp.asarray(mask), jnp.asarray(MC),
+                       cfg=FitConfig())
+    lnprior = jnp.zeros(NMODEL)
+    out = lnpost_grid(jax.random.PRNGKey(0), res, lnprior,
+                      jnp.asarray(COORD),
+                      parallax=jnp.asarray(1.0 / true_d),
+                      parallax_err=jnp.asarray(0.05 / true_d),
+                      feh=jnp.asarray(LABELS["feh"]),
+                      loga=jnp.asarray(LABELS["loga"]),
+                      cfg=PosteriorConfig(n_sel_max=64, n_mc_prior=64,
+                                          n_draws=200))
+    # Draw-level outputs have the right shapes and finite values.
+    assert out["model_idx"].shape == (200,)
+    assert np.isfinite(float(out["log_evidence"]))
+    # Posterior distance concentrates near the truth.
+    d_med = float(jnp.median(out["dist"]))
+    assert abs(d_med - true_d) / true_d < 0.2
+    a_med = float(jnp.median(out["red"]))
+    assert abs(a_med - true_av) < 0.35
+    # The true model should dominate the resampled indices.
+    frac_true = float(jnp.mean(out["model_idx"] == true_idx))
+    assert frac_true > 0.2
+    # All drawn models must come from the valid top-k subset.
+    valid_ids = np.asarray(out["sel_idx"])[np.asarray(out["valid_sel"])]
+    assert np.isin(np.asarray(out["model_idx"]), valid_ids).all()
+
+
+def test_lnpost_seed_stability():
+    """Evidence is an MC estimate: two seeds must agree within noise."""
+    flux, err = make_star(MC, 12, 0.3, 3.1, 0.9)
+    res = loglike_grid(jnp.asarray(flux), jnp.asarray(err),
+                       jnp.ones(NFILT, bool), jnp.asarray(MC),
+                       cfg=FitConfig())
+    cfg = PosteriorConfig(n_sel_max=64, n_mc_prior=256, n_draws=100)
+    outs = [lnpost_grid(jax.random.PRNGKey(s), res, jnp.zeros(NMODEL),
+                        jnp.asarray(COORD), cfg=cfg) for s in (1, 2)]
+    le = [float(o["log_evidence"]) for o in outs]
+    assert abs(le[0] - le[1]) < 0.2
+
+
+def _dustfile(tmp_path, coords):
+    nside = 64
+    ls = coords[:, 0]
+    bs = coords[:, 1]
+    pix = np.unique(healpix.lb2pix(nside, ls, bs))
+    dists = np.linspace(0.05, 5.0, 16)
+    av_mean = np.tile(np.linspace(0.0, 1.0, 16), (len(pix), 1))
+    av_std = np.full((len(pix), 16), 0.2)
+    path = str(tmp_path / "dust.h5")
+    write_bayestar_file(path, np.full(len(pix), nside), pix, dists,
+                        av_mean, av_std)
+    return path
+
+
+def test_bruteforce_end_to_end(tmp_path):
+    n_star = 5
+    idxs = rng.integers(0, NMODEL, n_star)
+    true_d = rng.uniform(0.5, 2.0, n_star)
+    true_av = rng.uniform(0.1, 1.0, n_star)
+    data = np.zeros((n_star, NFILT))
+    errs = np.zeros((n_star, NFILT))
+    for i in range(n_star):
+        data[i], errs[i] = make_star(MC, idxs[i], true_av[i], 3.2, true_d[i])
+    mask = np.ones((n_star, NFILT), bool)
+    coords = np.tile(COORD, (n_star, 1))
+    parallax = 1.0 / true_d
+    parallax_err = 0.02 * parallax
+
+    dustfile = _dustfile(tmp_path, coords)
+    bf = BruteForce(MC, LABELS, LMASK)
+    save = str(tmp_path / "results")
+    out = bf.fit(data, errs, mask, save_file=save,
+                 parallax=parallax, parallax_err=parallax_err,
+                 data_coords=coords, dustfile=dustfile,
+                 Nmc_prior=32, Ndraws=64, batch_size=2, n_sel_max=64,
+                 verbose=False, return_results=True)
+
+    # Results file carries the full 13-dataset schema.
+    res = load_results(save)
+    for name in ["model_idx", "ml_scale", "ml_av", "ml_rv", "ml_cov_sar",
+                 "obj_log_post", "obj_log_evid", "obj_chi2min",
+                 "obj_Nbands", "samps_dist", "samps_red", "samps_dred",
+                 "samps_logp"]:
+        assert name in res, name
+    assert res["model_idx"].shape == (n_star, 64)
+    assert (res["model_idx"] >= 0).all()
+    assert res["obj_Nbands"].tolist() == [NFILT + 1] * n_star
+
+    # Posterior medians recover the truth (strong parallax prior).
+    d_med = np.median(res["samps_dist"], axis=1)
+    np.testing.assert_allclose(d_med, true_d, rtol=0.15)
+    a_med = np.median(res["samps_red"], axis=1)
+    assert np.all(np.abs(a_med - true_av) < 0.5)
+
+    # In-memory results match the file.
+    np.testing.assert_allclose(out["log_evidence"], res["obj_log_evid"],
+                               rtol=1e-5)
+
+
+def test_bruteforce_resume(tmp_path):
+    n_star = 4
+    data = np.zeros((n_star, NFILT))
+    errs = np.zeros((n_star, NFILT))
+    for i in range(n_star):
+        data[i], errs[i] = make_star(MC, 10 + i, 0.4, 3.3, 1.0)
+    mask = np.ones((n_star, NFILT), bool)
+    coords = np.tile(COORD, (n_star, 1))
+
+    bf = BruteForce(MC, LABELS, LMASK)
+    save = str(tmp_path / "partial")
+    bf.fit(data[:2], errs[:2], mask[:2],
+           save_file=None, data_coords=coords[:2], Nmc_prior=16,
+           Ndraws=32, batch_size=2, n_sel_max=32, verbose=False)
+
+    # Write first 2 rows, simulate crash, then resume for the rest.
+    from brutus_tpu.io import ResultsWriter
+    w = ResultsWriter(save, n_star, 32)
+    w.close()
+    bf2 = BruteForce(MC, LABELS, LMASK)
+    out = bf2.fit(data, errs, mask, save_file=save, data_coords=coords,
+                  Nmc_prior=16, Ndraws=32, batch_size=2, n_sel_max=32,
+                  verbose=False, resume=True)
+    res = load_results(save)
+    assert (res["model_idx"] != -99).all()
+
+
+def test_bruteforce_lnprior_ext(tmp_path):
+    """An external Gaussian label prior shifts the posterior."""
+    flux, err = make_star(MC, 40, 0.5, 3.3, 1.2, snr=10.0)
+    data = flux[None]
+    errs = err[None]
+    mask = np.ones((1, NFILT), bool)
+    coords = COORD[None]
+    bf = BruteForce(MC, LABELS, LMASK)
+    kw = dict(save_file=None, data_coords=coords, Nmc_prior=16, Ndraws=128,
+              batch_size=1, n_sel_max=64, verbose=False,
+              return_results=True)
+    base = bf.fit(data, errs, mask, **kw)
+    # Pin feh tightly to a target value far from the best-fit model.
+    target = -1.5
+    ext = {"feh": np.array([[target, 0.05]])}
+    pinned = bf.fit(data, errs, mask, lnprior_ext=ext, **kw)
+    feh_base = np.median(LABELS["feh"][base["model_idx"][0]])
+    feh_pin = np.median(LABELS["feh"][pinned["model_idx"][0]])
+    assert abs(feh_pin - target) < abs(feh_base - target) + 0.2
+    assert abs(feh_pin - target) < 0.4

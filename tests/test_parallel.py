@@ -1,0 +1,82 @@
+"""Sharding tests: 8-device virtual CPU mesh vs single-device parity."""
+
+import numpy as np
+import jax
+import pytest
+
+from brutus_tpu.fitting import BruteForce
+from brutus_tpu.parallel import make_mesh, shard_grid, model_sharding
+
+from test_fitting import MC, LABELS, LMASK, make_star, COORD, NFILT
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(5)
+    n_star = 4
+    data = np.zeros((n_star, NFILT))
+    errs = np.zeros((n_star, NFILT))
+    for i in range(n_star):
+        data[i], errs[i] = make_star(MC, 20 + 7 * i, 0.4, 3.3, 1.1)
+    mask = np.ones((n_star, NFILT), bool)
+    coords = np.tile(COORD, (n_star, 1))
+    return data, errs, mask, coords
+
+
+def _run(problem, mesh):
+    data, errs, mask, coords = problem
+    bf = BruteForce(MC, LABELS, LMASK)
+    return bf.fit(data, errs, mask, data_coords=coords,
+                  parallax=np.full(len(data), 1.0),
+                  parallax_err=np.full(len(data), 0.05),
+                  Nmc_prior=16, Ndraws=32, batch_size=4, n_sel_max=64,
+                  verbose=False, return_results=True, mesh=mesh)
+
+
+def test_mesh_construction():
+    mesh = make_mesh(n_data=2, n_model=4)
+    assert dict(mesh.shape) == {"data": 2, "model": 4}
+    mesh = make_mesh()
+    assert dict(mesh.shape) == {"data": 1, "model": 8}
+
+
+def test_shard_grid_padding():
+    mesh = make_mesh(n_data=1, n_model=8)
+    mc = np.asarray(MC[:250])  # 250 % 8 != 0
+    dev, (lab,), n = shard_grid(mesh, mc, np.arange(250.0))
+    assert n == 250
+    assert dev.shape[0] == 256
+    assert lab.shape[0] == 256
+    # Padded rows are unreachably faint.
+    assert np.asarray(dev)[250:, :, 0].min() > np.asarray(dev)[:250, :, 0].max()
+
+
+def test_sharded_matches_single_device(problem):
+    out1 = _run(problem, mesh=None)
+    mesh = make_mesh(n_data=2, n_model=4)
+    out8 = _run(problem, mesh)
+    # Same PRNG keys + same math -> identical draws up to float assoc.
+    np.testing.assert_allclose(out8["log_evidence"], out1["log_evidence"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(out8["chi2min"], out1["chi2min"], rtol=1e-6)
+    assert (out8["model_idx"] == out1["model_idx"]).mean() > 0.95
+    np.testing.assert_allclose(np.median(out8["dist"], axis=1),
+                               np.median(out1["dist"], axis=1), rtol=0.05)
+
+
+def test_model_only_mesh(problem):
+    mesh = make_mesh(n_data=1, n_model=8)
+    out = _run(problem, mesh)
+    assert np.isfinite(out["log_evidence"]).all()
+
+
+def test_graft_entry_dryrun():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (8, 4096)
+    mod.dryrun_multichip(8)
