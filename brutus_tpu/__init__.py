@@ -24,3 +24,14 @@ __version__ = "0.1.0"
 
 from . import filters  # noqa: F401
 from .filters import FILTERS  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy submodule access (keeps `import brutus_tpu` light)."""
+    import importlib
+    submodules = {"config", "utils", "io", "coords", "healpix", "dustmap",
+                  "priors", "fitting", "parallel", "models", "ops", "los",
+                  "cluster", "offsets", "pdf", "plotting"}
+    if name in submodules:
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

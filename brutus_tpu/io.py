@@ -96,7 +96,8 @@ def load_models(filepath, filters=None, labels=None,
     with f:
         mag_coeffs = f["mag_coeffs"]
         n_models = len(mag_coeffs)
-        n_coef = len(mag_coeffs[filters[0]][0][0]) if filters else 3
+        avail = [f_ for f_ in filters if f_ in mag_coeffs.dtype.names]
+        n_coef = len(mag_coeffs[avail[0]][0]) if avail else 3
         models = np.zeros((n_models, len(filters), n_coef), dtype=dtype)
         loaded = np.zeros(len(filters), dtype=bool)
         for i, filt in enumerate(filters):

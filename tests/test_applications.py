@@ -1,0 +1,198 @@
+"""Tests for the L4/L5 applications: LOS, cluster, offsets, PDF binning."""
+
+import numpy as np
+import pytest
+from scipy.special import logsumexp as np_lse
+
+from brutus_tpu import los
+from brutus_tpu.cluster import isochrone_loglike
+from brutus_tpu.offsets import photometric_offsets
+from brutus_tpu.pdf import bin_pdfs_distred
+
+from test_models import (FILTERS, NF, analytic_preds, nnfile, isofile,  # noqa: F401
+                         trackfile)
+
+rng = np.random.default_rng(17)
+
+
+# --- LOS ------------------------------------------------------------------
+
+def test_priortransform_properties():
+    u = rng.uniform(0, 1, 4 + 2 * 3)  # 3 clouds
+    x = los.LOS_clouds_priortransform(u)
+    assert 0 < x[0] <= 1.0            # outlier fraction (log-normal <= 1)
+    assert 0 < x[1] <= 1.0 and 0 < x[2] <= 1.0
+    dists = x[4::2]
+    assert np.all(np.diff(dists) >= 0)          # sorted distances
+    assert np.all((x[3::2] >= 0) & (x[3::2] <= 6.0))
+
+
+def _oracle_los_loglike(theta, ds, rs, rlims=(0.0, 6.0)):
+    """Numpy re-derivation of the gauss-kernel cloud likelihood."""
+    pb, s0, s = theta[0], theta[1], theta[2]
+    reds = np.atleast_1d(theta[3::2])
+    dists = np.atleast_1d(theta[4::2])
+    area = rlims[1] - rlims[0]
+    xedges = np.concatenate([[0], dists, [1e10]])
+    sig = np.concatenate([[s0 * area], np.full(len(reds) - 1, s * area)])
+    logw = []
+    for c, r in enumerate(reds):
+        lw = (-0.5 * ((rs - r) / sig[c]) ** 2
+              - np.log(np.sqrt(2 * np.pi) * sig[c]))
+        lw = np.where((ds >= xedges[c]) & (ds < xedges[c + 1]), lw, -np.inf)
+        logw.append(lw)
+    logls = np_lse(np.array(logw), axis=(0, 2)) - np.log(rs.shape[1])
+    logls = np.logaddexp(np.log(1 - pb) + logls,
+                         np.log(pb) - np.log(area))
+    return float(np.sum(logls))
+
+
+def test_los_loglike_matches_oracle():
+    n_obj, n_samp = 30, 25
+    ds = rng.uniform(4, 19, size=(n_obj, n_samp))
+    rs = rng.uniform(0, 3, size=(n_obj, n_samp))
+    theta = np.array([0.05, 0.05, 0.08, 0.3, 8.0, 1.0, 13.0, 2.0])
+    got = los.LOS_clouds_loglike_samples(theta, ds, rs, kernel="gauss")
+    expect = _oracle_los_loglike(theta, ds[:, :25], rs[:, :25])
+    np.testing.assert_allclose(got, expect, rtol=1e-8)
+    # Non-monotonic reddening is rejected.
+    theta_bad = np.array([0.05, 0.05, 0.08, 0.3, 8.0, 2.0, 13.0, 1.0])
+    assert los.LOS_clouds_loglike_samples(theta_bad, ds, rs) == -np.inf
+    # Other kernels evaluate finitely.
+    for k in ("tophat", "lorentz"):
+        v = los.LOS_clouds_loglike_samples(theta, ds, rs, kernel=k)
+        assert np.isfinite(v)
+
+
+def test_los_recovers_cloud():
+    """A synthetic sightline: one cloud at dm=10 with dAv=1."""
+    n_obj, n_samp = 120, 25
+    dm = rng.uniform(4, 19, n_obj)
+    av_true = 0.2 + 1.0 * (dm > 10.0)
+    ds = dm[:, None] + rng.normal(0, 0.3, (n_obj, n_samp))
+    rs = av_true[:, None] + rng.normal(0, 0.1, (n_obj, n_samp))
+
+    def ll(d0, r0):
+        theta = np.array([0.02, 0.02, 0.02, 0.2, d0, r0])
+        return los.LOS_clouds_loglike_samples(theta, ds, rs)
+
+    good = ll(10.0, 1.2)
+    assert good > ll(7.0, 1.2)
+    assert good > ll(13.0, 1.2)
+    assert good > ll(10.0, 2.5)
+
+
+# --- cluster --------------------------------------------------------------
+
+def test_isochrone_loglike(isofile, nnfile):
+    from brutus_tpu.models import Isochrone
+    iso = Isochrone(filters=FILTERS, nnfile=nnfile[0], mistfile=isofile,
+                    verbose=False)
+    true = dict(feh=-0.3, loga=9.2, av=0.3, rv=3.3, dist=1000.0)
+    seds, p1, _ = iso.get_seds(eep=np.linspace(250, 450, 40), **true,
+                               mini_bound=0.4)
+    seds = np.asarray(seds)
+    ok = np.isfinite(seds).all(axis=1)
+    seds = seds[ok][:12]
+    phot = 10 ** (-0.4 * seds)
+    err = phot * 0.02
+    phot = phot + rng.normal(size=phot.shape) * err
+
+    eep_grid = np.linspace(202.0, 600.0, 300)
+    smf_grid = np.array([0.0])
+
+    def ll(**kw):
+        pars = {**true, **kw}
+        theta = np.array([pars["feh"], pars["loga"], pars["av"],
+                          pars["rv"], pars["dist"], 0.05])
+        return isochrone_loglike(theta, iso, phot, err,
+                                 smf_grid=smf_grid, eep_grid=eep_grid,
+                                 mini_bound=0.4)
+
+    base = ll()
+    assert np.isfinite(base)
+    # With random synthetic BC nets + per-star EEP marginalization, feh
+    # and loga are near-degenerate on this fixture; A(V) shifts bands
+    # unevenly and cannot be absorbed, so it must be discriminated.
+    assert base > ll(av=1.2)
+
+    # With parallaxes the distance is pinned directly.
+    def ll_p(dist):
+        theta = np.array([true["feh"], true["loga"], true["av"],
+                          true["rv"], dist, 0.05])
+        return isochrone_loglike(
+            theta, iso, phot, err, smf_grid=smf_grid, eep_grid=eep_grid,
+            mini_bound=0.4, parallax=np.full(len(phot), 1.0),
+            parallax_err=np.full(len(phot), 0.05), return_lnls=True)
+
+    tot, lnls = ll_p(1000.0)
+    assert lnls.shape == (len(phot),)
+    assert np.isfinite(tot)
+    assert tot > ll_p(1500.0)[0]
+    assert tot > ll_p(700.0)[0]
+
+
+# --- photometric offsets --------------------------------------------------
+
+def test_photometric_offsets():
+    n_model, n_filt = 200, NF
+    n_obj, n_samp = 40, 20
+    mc = np.stack([rng.uniform(8, 14, (n_model, n_filt)),
+                   rng.uniform(0.4, 1.1, (n_model, n_filt)),
+                   rng.uniform(0.05, 0.2, (n_model, n_filt))], axis=-1)
+    idxs = rng.integers(0, n_model, (n_obj, n_samp))
+    reds = rng.uniform(0.1, 0.8, (n_obj, n_samp))
+    dreds = rng.uniform(2.8, 3.8, (n_obj, n_samp))
+    dists = rng.uniform(0.8, 1.5, (n_obj, n_samp))
+
+    # Data = model prediction of the first sample, with band 0 biased.
+    sed0 = (mc[idxs[:, 0], :, 0]
+            + reds[:, :1] * (mc[idxs[:, 0], :, 1]
+                             + dreds[:, :1] * mc[idxs[:, 0], :, 2]))
+    phot = 10 ** (-0.4 * sed0) / dists[:, :1] ** 2
+    phot[:, 0] /= 1.1   # data 10% too faint in band 0 -> ratio ~1.1
+    err = np.abs(phot) * 0.05
+    mask = np.ones((n_obj, n_filt), bool)
+
+    ratios, ratios_err, nratio = photometric_offsets(
+        phot, err, mask, mc, idxs, reds, dreds, dists, Nmc=40,
+        verbose=False)
+    assert nratio.min() == n_obj
+    assert abs(ratios[0] - 1.1) < 0.05
+    np.testing.assert_allclose(ratios[1:], 1.0, atol=0.06)
+
+
+# --- PDF binning ----------------------------------------------------------
+
+def test_bin_pdfs_distred_saved_draws():
+    n_obj, n_samp = 3, 500
+    dists = rng.uniform(0.5, 2.0, (n_obj, 1)) * np.ones((1, n_samp)) \
+        * np.exp(rng.normal(0, 0.05, (n_obj, n_samp)))
+    reds = np.abs(rng.normal(0.8, 0.1, (n_obj, n_samp)))
+    dreds = rng.uniform(2.5, 4.0, (n_obj, n_samp))
+    pdfs, xe, ye = bin_pdfs_distred((dists, reds, dreds), bins=(80, 60),
+                                    avlim=(0.0, 6.0))
+    assert pdfs.shape == (n_obj, 80, 60)
+    # Mass is conserved for in-span draws.
+    np.testing.assert_allclose(pdfs.sum(axis=(1, 2)), 1.0, atol=0.05)
+    # CDF mode is monotone along the distance axis.
+    cdfs, _, _ = bin_pdfs_distred((dists, reds, dreds), bins=(80, 60),
+                                  cdf=True)
+    assert (np.diff(cdfs, axis=1) >= -1e-6).all()
+
+
+def test_bin_pdfs_distred_regenerated():
+    n_obj, n_sel = 2, 30
+    scales = rng.uniform(0.25, 1.0, (n_obj, n_sel))
+    avs = rng.uniform(0.2, 1.0, (n_obj, n_sel))
+    rvs = rng.uniform(2.8, 3.8, (n_obj, n_sel))
+    covs = np.tile(np.diag([1e-4, 0.01, 0.04]), (n_obj, n_sel, 1, 1))
+    coord = np.tile([204.7, -19.2], (n_obj, 1))
+    pdfs, xe, ye = bin_pdfs_distred((scales, avs, rvs, covs),
+                                    coord=coord, Nr=50, bins=(60, 40),
+                                    parallaxes=np.array([1.0, 0.7]),
+                                    parallax_errors=np.array([0.1, 0.1]))
+    assert pdfs.shape == (n_obj, 60, 40)
+    assert np.isfinite(pdfs).all()
+    assert (pdfs >= 0).all()
+    assert pdfs.sum() > 0

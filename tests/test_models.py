@@ -1,0 +1,276 @@
+"""Tests for the model-generation layer (tracks, NN, sedmaker, isochrone)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.interpolate import RegularGridInterpolator
+
+from brutus_tpu.models.nn import FastNN, FastNNPredictor, write_nn_file
+from brutus_tpu.models.tracks import (MISTtracks, write_tracks_file,
+                                      empirical_corrections)
+from brutus_tpu.models.sedmaker import SEDmaker
+from brutus_tpu.models.isochrone import Isochrone, write_isochrone_file
+from brutus_tpu.ops.interp import interpn
+
+rng = np.random.default_rng(21)
+
+FILTERS = ["PS_g", "PS_r", "PS_i", "PS_z", "PS_y", "2MASS_J"]
+NF = len(FILTERS)
+XMIN = np.array([2000.0, 0.0, -3.0, -0.3, 0.0, 1.0])
+XMAX = np.array([20000.0, 6.0, 1.0, 0.7, 2.5, 6.0])
+
+
+def analytic_preds(mini, eep, feh, afe):
+    """Smooth, monotone-in-EEP synthetic stellar physics."""
+    eep = np.asarray(eep, dtype=float)
+    loga = 9.0 + 0.004 * (eep - 350.0) - 1.2 * np.log10(mini)
+    logt = 3.75 - 0.2 * (eep - 350.0) / 600.0 + 0.03 * feh \
+        + 0.1 * np.log10(mini)
+    logl = 3.5 * np.log10(mini) + 0.0015 * (eep - 202.0)
+    logg = 4.4 - 0.0012 * (eep - 202.0) - 0.05 * np.log10(mini)
+    return {"log_age": loga, "log_Teff": logt, "log_L": logl,
+            "log_g": logg, "[Fe/H]": feh - 0.05 + 0 * eep,
+            "[a/Fe]": afe + 0 * eep, "star_mass": mini + 0 * eep,
+            "log_R": 0.5 * logl - 2 * (logt - 3.76)}
+
+
+@pytest.fixture(scope="module")
+def trackfile(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("mist") / "tracks.h5")
+    write_tracks_file(path, np.arange(0.5, 2.01, 0.25),
+                      np.arange(202.0, 606.0, 16.0),
+                      np.array([-1.0, -0.5, 0.0, 0.5]),
+                      np.array([0.0]), analytic_preds)
+    return path
+
+
+@pytest.fixture(scope="module")
+def nnfile(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("nn") / "nn.h5")
+    h1, h2 = 8, 8
+    w1 = rng.normal(size=(NF, h1, 6)) * 0.5
+    b1 = rng.normal(size=(NF, h1, 1)) * 0.1
+    w2 = rng.normal(size=(NF, h2, h1)) * 0.5
+    b2 = rng.normal(size=(NF, h2, 1)) * 0.1
+    w3 = rng.normal(size=(NF, 1, h2)) * 0.5
+    b3 = rng.normal(size=(NF, 1, 1)) * 0.1
+    write_nn_file(path, FILTERS, w1, b1, w2, b2, w3, b3, XMIN, XMAX)
+    return path, (w1, b1, w2, b2, w3, b3)
+
+
+def test_interpn_matches_scipy():
+    pts = (np.linspace(0, 1, 5), np.linspace(-2, 2, 7),
+           np.linspace(3, 9, 4))
+    vals = rng.normal(size=(5, 7, 4, 2))
+    ref = RegularGridInterpolator(pts, vals, method="linear",
+                                  bounds_error=False, fill_value=np.nan)
+    xi = np.stack([rng.uniform(-0.2, 1.2, 100),
+                   rng.uniform(-2.5, 2.5, 100),
+                   rng.uniform(2.5, 9.5, 100)], axis=-1)
+    got = np.asarray(interpn(tuple(map(jnp.asarray, pts)),
+                             jnp.asarray(vals), jnp.asarray(xi)))
+    np.testing.assert_allclose(got, ref(xi), rtol=1e-10, atol=1e-12,
+                               equal_nan=True)
+
+
+def test_tracks_predictions(trackfile):
+    tr = MISTtracks(mistfile=trackfile, verbose=False)
+    assert tr.predictions[-1] == "agewt"
+    labels = np.stack([rng.uniform(0.6, 1.9, 50),
+                       rng.uniform(210, 590, 50),
+                       rng.uniform(-0.9, 0.4, 50),
+                       np.zeros(50)], axis=-1)
+    preds = np.asarray(tr.get_predictions(labels, apply_corr=False))
+    expect = analytic_preds(labels[:, 0], labels[:, 1], labels[:, 2], 0.0)
+    # Multilinear interpolation of smooth functions: loose tolerance.
+    np.testing.assert_allclose(preds[:, 0], expect["log_age"], atol=2e-2)
+    np.testing.assert_allclose(preds[:, 2], expect["log_Teff"], atol=5e-3)
+    # Out of bounds -> NaN.
+    oob = np.asarray(tr.get_predictions(np.array([3.0, 300.0, 0.0, 0.0])))
+    assert np.isnan(oob).all()
+
+
+def test_corrections_behavior(trackfile):
+    dlogt, dlogr = [np.asarray(v) for v in
+                    empirical_corrections(np.array([0.7, 1.0, 1.5]),
+                                          np.array([300.0] * 3),
+                                          np.array([0.0] * 3))]
+    assert dlogt[0] < 0 and dlogr[0] > 0   # dtdm=+0.09, drdm=-0.09, m<1
+    assert dlogt[1] == 0 and dlogt[2] == 0  # >= 1 Msun untouched
+    # MSTO suppression: corrections fade past eep=454.
+    d1, _ = empirical_corrections(0.7, 300.0, 0.0)
+    d2, _ = empirical_corrections(0.7, 600.0, 0.0)
+    assert abs(float(d2)) < abs(float(d1))
+
+
+def test_fastnn_matches_numpy(nnfile):
+    path, (w1, b1, w2, b2, w3, b3) = nnfile
+    nn = FastNN(filters=FILTERS, nnfile=path)
+    x = np.array([5000.0, 4.2, -0.3, 0.1, 0.5, 3.1])
+    got = np.asarray(nn.nneval(x))
+
+    def sig(a):
+        return 1.0 / (1.0 + np.exp(-a))
+    xe = ((x - XMIN) / (XMAX - XMIN))[:, None]
+    expect = np.array([
+        (w3[i] @ sig(w2[i] @ sig(w1[i] @ xe + b1[i]) + b2[i]) + b3[i])[0, 0]
+        for i in range(NF)])
+    np.testing.assert_allclose(got, expect, rtol=1e-10)
+    # Out of the trained box -> NaN.
+    assert np.isnan(np.asarray(nn.nneval(np.array([1.0, 4.2, -0.3, 0.1,
+                                                   0.5, 3.1])))).all()
+
+
+def test_fastnn_sed(nnfile):
+    path, _ = nnfile
+    nn = FastNNPredictor(filters=FILTERS, nnfile=path)
+    sed = np.asarray(nn.sed(logt=3.7, logg=4.4, feh_surf=0.0, logl=0.3,
+                            afe=0.0, av=0.4, rv=3.2, dist=1500.0))
+    bc = np.asarray(nn.nneval(np.array([10 ** 3.7, 4.4, 0.0, 0.0, 0.4,
+                                        3.2])))
+    mu = 5 * np.log10(1500.0) - 5
+    np.testing.assert_allclose(sed, -2.5 * 0.3 + 4.74 - bc + mu,
+                               rtol=1e-10)
+
+
+def test_get_eep_binary_agematch(trackfile, nnfile):
+    mk = SEDmaker(filters=FILTERS, nnfile=nnfile[0], mistfile=trackfile,
+                  verbose=False)
+    mini, eep, feh, smf = 1.2, 380.0, -0.25, 0.7
+    loga = 9.0 + 0.004 * (eep - 350.0) - 1.2 * np.log10(mini)
+    got = float(mk.get_eep(loga, mini=mini, eep=eep, feh=feh, smf=smf))
+    expect = 350.0 + (loga - 9.0 + 1.2 * np.log10(mini * smf)) / 0.004
+    # The bisection inverts the *interpolated* loga (max interp error
+    # ~0.01 dex -> ~2.5 EEP on this coarse fixture grid).
+    assert abs(got - expect) < 3.0
+
+
+def test_sedmaker_get_sed(trackfile, nnfile):
+    mk = SEDmaker(filters=FILTERS, nnfile=nnfile[0], mistfile=trackfile,
+                  verbose=False)
+    sed, params, _ = mk.get_sed(mini=1.1, eep=400.0, feh=-0.2, av=0.3,
+                                rv=3.2, dist=1000.0)
+    assert np.isfinite(sed).all()
+    # Direct NN evaluation of the same parameters.
+    nnp = mk.FNNP
+    x = np.array([10 ** params["logt"], params["logg"],
+                  params["feh_surf"], params["afe_surf"], 0.3, 3.2])
+    bc = np.asarray(nnp.nneval(x))
+    expect = -2.5 * params["logl"] + 4.74 - bc + (5 * np.log10(1000) - 5)
+    np.testing.assert_allclose(sed, expect, rtol=1e-8)
+    # Binary combines to brighter (smaller) magnitudes.
+    sed_b, _, p2 = mk.get_sed(mini=1.1, eep=400.0, feh=-0.2, av=0.3,
+                              rv=3.2, smf=0.9)
+    assert np.isfinite(sed_b).all()
+    assert (sed_b < sed + 1e-9).all()
+    # Binaries past the MSTO cutoff are invalid.
+    sed_n, _, _ = mk.get_sed(mini=1.1, eep=520.0, feh=-0.2, smf=0.9)
+    assert np.isnan(sed_n).all()
+
+
+def test_make_grid_and_fit_roundtrip(trackfile, nnfile, tmp_path):
+    """Overview-2 + Overview-3 analog: generate a grid, write it, load
+    it, and fit a star synthesized from the generator."""
+    mk = SEDmaker(filters=FILTERS, nnfile=nnfile[0], mistfile=trackfile,
+                  verbose=False)
+    mk.make_grid(mini_grid=np.arange(0.6, 1.9, 0.1),
+                 eep_grid=np.arange(220.0, 580.0, 12.0),
+                 feh_grid=np.array([-0.8, -0.4, 0.0, 0.4]),
+                 afe_grid=np.array([0.0]), verbose=False, chunk=2048)
+    assert mk.grid_sel.mean() > 0.5
+
+    # Linear reddening coefficients reproduce the direct NN SED.
+    sel = np.flatnonzero(mk.grid_sel)
+    i = sel[len(sel) // 2]
+    lab = mk.grid_label[i]
+    av_t, rv_t = 0.7, 3.0
+    direct, _, _ = mk.get_sed(mini=lab["mini"], eep=lab["eep"],
+                              feh=lab["feh"], afe=lab["afe"],
+                              av=av_t, rv=rv_t)
+    coeffs = np.stack([mk.grid_sed[f][i] for f in FILTERS])
+    approx = coeffs[:, 0] + av_t * (coeffs[:, 1] + rv_t * coeffs[:, 2])
+    np.testing.assert_allclose(approx, direct, atol=0.05)
+
+    # Round-trip through the grid file + BruteForce.
+    from brutus_tpu.io import load_models
+    from brutus_tpu.fitting import BruteForce
+    path = str(tmp_path / "grid.h5")
+    mk.to_hdf5(path)
+    models, labels, lmask = load_models(path, filters=FILTERS,
+                                        verbose=False)
+    good = np.isfinite(models).all(axis=(1, 2))
+    models, labels = models[good], labels[good]
+    assert len(models) > 100
+
+    true_d = 1.3
+    flux = 10 ** (-0.4 * approx) / true_d ** 2
+    err = flux / 100.0
+    bf = BruteForce(models.astype(float), labels, lmask)
+    out = bf.fit(flux[None], err[None], np.ones((1, NF), bool),
+                 data_coords=np.array([[204.7, -19.2]]),
+                 parallax=np.array([1 / true_d]),
+                 parallax_err=np.array([0.02 / true_d]),
+                 Nmc_prior=16, Ndraws=64, batch_size=1, n_sel_max=64,
+                 verbose=False, return_results=True)
+    d_med = np.median(out["dist"][0])
+    assert abs(d_med - true_d) / true_d < 0.1
+    best = out["model_idx"][0][0]
+    assert abs(labels["mini"][best] - lab["mini"]) < 0.25
+
+
+@pytest.fixture(scope="module")
+def isofile(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("iso") / "iso.h5")
+    feh_u = np.array([-1.0, -0.5, 0.0, 0.5])
+    afe_u = np.array([0.0])
+    loga_u = np.array([8.5, 9.0, 9.5, 10.0])
+    eep_u = np.arange(202.0, 606.0, 8.0)
+    labels = ["mini", "mass", "logl", "logt", "logr", "logg",
+              "feh_surf", "afe_surf"]
+    grid = np.full((len(feh_u), len(afe_u), len(loga_u), len(eep_u),
+                    len(labels)), np.nan)
+    for i, z in enumerate(feh_u):
+        for k, la in enumerate(loga_u):
+            # Invert analytic loga(mini, eep) -> mini(eep) at fixed age.
+            mini = 10 ** ((9.0 + 0.004 * (eep_u - 350.0) - la) / 1.2)
+            ok = (mini > 0.3) & (mini < 2.5)
+            p = analytic_preds(mini, eep_u, z, 0.0)
+            grid[i, 0, k, :, 0] = np.where(ok, mini, np.nan)
+            grid[i, 0, k, :, 1] = np.where(ok, mini, np.nan)
+            grid[i, 0, k, :, 2] = np.where(ok, p["log_L"], np.nan)
+            grid[i, 0, k, :, 3] = np.where(ok, p["log_Teff"], np.nan)
+            grid[i, 0, k, :, 4] = np.where(ok, p["log_R"], np.nan)
+            grid[i, 0, k, :, 5] = np.where(ok, p["log_g"], np.nan)
+            grid[i, 0, k, :, 6] = np.where(ok, z - 0.05, np.nan)
+            grid[i, 0, k, :, 7] = np.where(ok, 0.0, np.nan)
+    write_isochrone_file(path, feh_u, afe_u, loga_u, eep_u, grid, labels)
+    return path
+
+
+def test_isochrone_seds(isofile, nnfile):
+    iso = Isochrone(filters=FILTERS, nnfile=nnfile[0], mistfile=isofile,
+                    verbose=False)
+    seds, p1, p2 = iso.get_seds(feh=-0.3, loga=9.2, av=0.2, rv=3.1,
+                                dist=1000.0, mini_bound=0.4)
+    n_eep = len(iso.eep_u)
+    assert np.asarray(seds).shape == (n_eep, NF)
+    finite = np.isfinite(np.asarray(seds)).all(axis=1)
+    assert finite.sum() > 10
+    # mini increases along the isochrone EEP grid where defined.
+    mini = p1["mini"]
+    ok = np.isfinite(mini)
+    assert (np.diff(mini[ok]) > 0).all()
+
+    # Binary population is brighter where both components exist.
+    seds_b, _, _ = iso.get_seds(feh=-0.3, loga=9.2, av=0.2, rv=3.1,
+                                smf=0.8, mini_bound=0.4)
+    both = finite & np.isfinite(np.asarray(seds_b)).all(axis=1)
+    assert (np.asarray(seds_b)[both] <= np.asarray(seds)[both] + 1e-9).all()
+
+    # Equal-mass special case: exactly 2x flux on the MS.
+    seds_e, _, _ = iso.get_seds(feh=-0.3, loga=9.2, av=0.2, rv=3.1,
+                                smf=1.0, mini_bound=0.4)
+    ms = iso.eep_u <= 480.0
+    np.testing.assert_allclose(
+        np.asarray(seds_e)[ms & finite],
+        np.asarray(seds)[ms & finite] - 2.5 * np.log10(2.0), rtol=1e-10)
