@@ -55,6 +55,11 @@ def main():
     ap.add_argument("--nmc", type=int, default=50)
     ap.add_argument("--ndraws", type=int, default=250)
     ap.add_argument("--nsel", type=int, default=4096)
+    ap.add_argument("--engine", choices=["xla", "fused"], default="fused",
+                    help="likelihood engine: plain XLA or fused Pallas")
+    ap.add_argument("--tile", type=int, default=512)
+    ap.add_argument("--loglike-only", action="store_true",
+                    help="benchmark the likelihood stage alone")
     args = ap.parse_args()
 
     if args.smoke:
@@ -84,16 +89,50 @@ def main():
     loga_d = jnp.asarray(loga, mc_d.dtype)
     lnprior = jnp.zeros(M, mc_d.dtype)
 
-    def star_step(key, f, e, plx, plx_err):
-        res = loglike_grid(f, e, jnp.ones_like(f, bool), mc_d,
-                           parallax=plx, parallax_err=plx_err, cfg=fit_cfg)
-        return lnpost_grid(key, res, lnprior, coord,
-                           parallax=plx, parallax_err=plx_err,
-                           feh=feh_d, loga=loga_d,
-                           dust_profile=(dust_dist, dust_mean, dust_std),
-                           cfg=post_cfg)
+    if args.engine == "fused":
+        from brutus_tpu.ops.pallas_loglike import (loglike_grid_fused,
+                                                   prepare_coeffs)
+        coeffs_t, n_real = prepare_coeffs(mc, tile=args.tile)
+        Mp = coeffs_t.shape[-1]
+        lnprior_p = jnp.zeros(Mp, mc_d.dtype)
+        feh_p = jnp.concatenate([feh_d, jnp.zeros(Mp - M, mc_d.dtype)])
+        loga_p = jnp.concatenate([loga_d,
+                                  jnp.full(Mp - M, 9.0, mc_d.dtype)])
 
-    step = jax.jit(jax.vmap(star_step, in_axes=(0, 0, 0, 0, 0)))
+        def one(key, r, p, pe):
+            return lnpost_grid(key, r, lnprior_p, coord,
+                               parallax=p, parallax_err=pe,
+                               feh=feh_p, loga=loga_p,
+                               dust_profile=(dust_dist, dust_mean,
+                                             dust_std),
+                               cfg=post_cfg)
+
+        batch_post = jax.jit(jax.vmap(one))
+
+        # The Mosaic kernel dispatches eagerly (jit-wrapping it lowers
+        # pathologically slowly on the remote-compile backend).
+        def step(keys, f, e, plx, plx_err):
+            res = loglike_grid_fused(f, e, jnp.ones_like(f, bool),
+                                     coeffs_t, cfg=fit_cfg,
+                                     tile=args.tile, n_real=n_real)
+            if args.loglike_only:
+                return res
+            return batch_post(keys, res, plx, plx_err)
+    else:
+        def star_step(key, f, e, plx, plx_err):
+            res = loglike_grid(f, e, jnp.ones_like(f, bool), mc_d,
+                               parallax=plx, parallax_err=plx_err,
+                               cfg=fit_cfg)
+            if args.loglike_only:
+                return res
+            return lnpost_grid(key, res, lnprior, coord,
+                               parallax=plx, parallax_err=plx_err,
+                               feh=feh_d, loga=loga_d,
+                               dust_profile=(dust_dist, dust_mean,
+                                             dust_std),
+                               cfg=post_cfg)
+
+        step = jax.jit(jax.vmap(star_step, in_axes=(0, 0, 0, 0, 0)))
 
     keys = jax.random.split(jax.random.PRNGKey(0), B)
     fx, ex = jnp.asarray(flux), jnp.asarray(err)
@@ -102,11 +141,15 @@ def main():
     # Warm-up / compile.
     out = step(keys, fx, ex, px, pxe)
     jax.block_until_ready(out)
-    ok = np.isfinite(np.asarray(out["log_evidence"])).all()
-    hit = (np.asarray(out["model_idx"]) == idx[:, None]).mean()
+    if args.loglike_only:
+        hit = (np.asarray(out["lnlike"]).argmax(1) == idx).mean()
+        ok = True
+    else:
+        ok = np.isfinite(np.asarray(out["log_evidence"])).all()
+        hit = (np.asarray(out["model_idx"]) == idx[:, None]).mean()
     print(f"# devices={jax.devices()} M={M} F={F} B={B} "
-          f"finite_evid={ok} true_model_hit_rate={hit:.2f}",
-          file=sys.stderr)
+          f"engine={args.engine} finite={ok} "
+          f"true_model_hit_rate={hit:.2f}", file=sys.stderr)
 
     t0 = time.perf_counter()
     for i in range(args.iters):
@@ -117,8 +160,9 @@ def main():
 
     stars_per_sec = B * args.iters / dt
     ref_secs_per_star = 1.716          # BASELINE.md, Overview 3 MIST grid
+    stage = "loglike" if args.loglike_only else "full_fit"
     result = {
-        "metric": f"stars_per_sec_full_fit_{M//1000}k_models",
+        "metric": f"stars_per_sec_{stage}_{M//1000}k_models_{args.engine}",
         "value": round(stars_per_sec, 3),
         "unit": "stars/s",
         "vs_baseline": round(stars_per_sec * ref_secs_per_star, 2),

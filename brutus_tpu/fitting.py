@@ -150,13 +150,11 @@ class BruteForce:
 
     def _build_step(self, fit_cfg, post_cfg, gal_cfg, dust_cfg,
                     apply_av_prior, apply_dlabels, device_models,
-                    lnprior_dev, feh=None, loga=None, has_ext=False):
+                    lnprior_dev, feh=None, loga=None, has_ext=False,
+                    engine="xla", tile=512, n_real=None):
 
-        def star_step(key, flux, err, mask, plx, plx_err, coord,
+        def post_step(key, res, plx, plx_err, coord,
                       dust_mean, dust_std, dust_dist, ext_lnl):
-            res = loglike_grid(flux, err, mask, device_models,
-                               parallax=plx, parallax_err=plx_err,
-                               cfg=fit_cfg)
             if ext_lnl is not None:
                 res = dict(res)
                 res["lnlike"] = res["lnlike"] + ext_lnl
@@ -169,12 +167,45 @@ class BruteForce:
                                dust_cfg=dust_cfg,
                                apply_av_prior=apply_av_prior)
 
-        in_axes = (0, 0, 0, 0, 0, 0, 0,
-                   0 if apply_av_prior else None,
-                   0 if apply_av_prior else None,
-                   None,
-                   0 if has_ext else None)
-        step = jax.vmap(star_step, in_axes=in_axes)
+        post_axes = (0, 0, 0, 0, 0,
+                     0 if apply_av_prior else None,
+                     0 if apply_av_prior else None,
+                     None,
+                     0 if has_ext else None)
+
+        if engine == "fused":
+            from .ops.pallas_loglike import loglike_grid_fused
+
+            # NOT jitted as a whole: jit-wrapping the Mosaic kernel is
+            # pathologically slow to lower on the remote-compile TPU
+            # backend; the kernel dispatches eagerly and only the
+            # posterior stage is jitted.
+            post_batch = jax.jit(jax.vmap(post_step, in_axes=post_axes))
+
+            def step(keys, flux, err, mask, plx, plx_err, coord,
+                     dust_mean, dust_std, dust_dist, ext_lnl):
+                res = loglike_grid_fused(flux, err, mask, device_models,
+                                         cfg=fit_cfg, tile=tile,
+                                         n_real=n_real)
+                return post_batch(keys, res, plx, plx_err, coord,
+                                  dust_mean, dust_std, dust_dist, ext_lnl)
+
+            return step
+        else:
+            def star_step(key, flux, err, mask, plx, plx_err, coord,
+                          dust_mean, dust_std, dust_dist, ext_lnl):
+                res = loglike_grid(flux, err, mask, device_models,
+                                   parallax=plx, parallax_err=plx_err,
+                                   cfg=fit_cfg)
+                return post_step(key, res, plx, plx_err, coord,
+                                 dust_mean, dust_std, dust_dist, ext_lnl)
+
+            in_axes = (0, 0, 0, 0, 0, 0, 0,
+                       0 if apply_av_prior else None,
+                       0 if apply_av_prior else None,
+                       None,
+                       0 if has_ext else None)
+            step = jax.vmap(star_step, in_axes=in_axes)
         return jax.jit(step)
 
     # -- public API -------------------------------------------------------
@@ -193,7 +224,7 @@ class BruteForce:
             logl_initthresh=5e-3, mag_max=50.0, merr_max=0.25,
             save_dar_draws=True, running_io=True, verbose=True,
             batch_size=16, n_sel_max=4096, seed=0, resume=False,
-            return_results=False, mesh=None):
+            return_results=False, mesh=None, engine="xla", tile=512):
         """Fit every star against the grid and write the results file.
 
         Parity: reference `brutus/fitting.py:1426-1801` (same defaults,
@@ -277,15 +308,26 @@ class BruteForce:
         loga_arr = (np.asarray(self.models_labels["loga"], dtype=float)
                     if apply_dlabels and "loga" in names else None)
 
+        if engine == "fused" and mesh is not None:
+            raise NotImplementedError(
+                "the fused engine does not support a mesh yet; use "
+                "engine='xla' for multi-chip runs")
+        if engine == "fused" and batch_size % 8 != 0:
+            raise ValueError("engine='fused' requires batch_size to be a "
+                             "multiple of 8 (TPU sublane tiling)")
         if mesh is not None:
             from .parallel import shard_grid, data_sharding
             if batch_size % mesh.shape["data"] != 0:
                 raise ValueError("batch_size must be divisible by the "
                                  "mesh 'data' axis size")
             (device_models, (lnprior_dev, feh_dev, loga_dev),
-             _) = shard_grid(mesh, self.models.astype(self.models.dtype),
-                             lnprior.astype(self.models.dtype),
-                             feh_arr, loga_arr)
+             n_real) = shard_grid(mesh, self.models.astype(self.models.dtype),
+                                  lnprior.astype(self.models.dtype),
+                                  feh_arr, loga_arr)
+            if n_real < device_models.shape[0]:
+                # Padded models fit as well as real ones (the flux scale
+                # absorbs magnitude offsets); kill them via the grid prior.
+                lnprior_dev = lnprior_dev.at[n_real:].set(-1e30)
             batch_shard = data_sharding(mesh)
         else:
             device_models = jnp.asarray(self.models)
@@ -295,11 +337,30 @@ class BruteForce:
             loga_dev = (jnp.asarray(loga_arr, device_models.dtype)
                         if loga_arr is not None else None)
             batch_shard = None
+
+        n_real = None
+        if engine == "fused":
+            from .ops.pallas_loglike import prepare_coeffs
+            device_models, n_real = prepare_coeffs(self.models, tile=tile)
+            pad = device_models.shape[-1] - n_real
+            if pad:
+                z = lambda a, fill: jnp.concatenate(
+                    [a, jnp.full(pad, fill, a.dtype)])
+                lnprior_dev = z(lnprior_dev, -1e30)
+                if feh_dev is not None:
+                    feh_dev = z(feh_dev, 0.0)
+                if loga_dev is not None:
+                    loga_dev = z(loga_dev, 9.0)
+                if ext_lnl is not None:
+                    ext_lnl = np.concatenate(
+                        [ext_lnl, np.zeros((n_data, pad), ext_lnl.dtype)],
+                        axis=1)
         step = self._build_step(fit_cfg, post_cfg, gal_cfg, dust_cfg,
                                 apply_av_prior, apply_dlabels,
                                 device_models, lnprior_dev,
                                 feh=feh_dev, loga=loga_dev,
-                                has_ext=ext_lnl is not None)
+                                has_ext=ext_lnl is not None,
+                                engine=engine, tile=tile, n_real=n_real)
 
         writer = None
         if save_file is not None:

@@ -46,6 +46,46 @@ def _masked_max(x, mask, initial=-jnp.inf):
 # (parity: reference brutus/fitting.py:34-271)
 # ---------------------------------------------------------------------------
 
+def direct_mag_init(mags, wt_mag, mag_coeffs, cfg: FitConfig):
+    """One-shot weighted least squares for `(mu-offset, Av, Av*Rv)`.
+
+    In magnitudes the model is exactly linear in these three parameters
+    (`sed = mag0 + u + Av*r0 + (Av*Rv)*dr`), so the optimum of the
+    unclamped objective is a single batched 3x3 solve — the seed for the
+    reference's alternating clamped iterations (see SURVEY.md §7).
+    """
+    from ..utils import inverse3
+    r0 = mag_coeffs[..., 1]
+    dr = mag_coeffs[..., 2]
+    resid0 = mags - mag_coeffs[..., 0]               # (M, F)
+    av_var_inv = 1.0 / cfg.av_gauss[1] ** 2
+    M = mag_coeffs.shape[0]
+
+    sw = jnp.sum(wt_mag) * jnp.ones(M, mag_coeffs.dtype)
+    swr = r0 @ wt_mag
+    swd = dr @ wt_mag
+    swrr = (r0 * r0) @ wt_mag + av_var_inv
+    swrd = (r0 * dr) @ wt_mag
+    swdd = (dr * dr) @ wt_mag
+    b0 = resid0 @ wt_mag
+    b1 = (resid0 * r0) @ wt_mag + cfg.av_gauss[0] * av_var_inv
+    b2 = (resid0 * dr) @ wt_mag
+
+    G = jnp.stack([
+        jnp.stack([sw, swr, swd], -1),
+        jnp.stack([swr, swrr, swrd], -1),
+        jnp.stack([swd, swrd, swdd], -1)], -2)       # (M, 3, 3)
+    sol = jnp.einsum('mij,mj->mi', inverse3(G),
+                     jnp.stack([b0, b1, b2], -1))
+    av = jnp.clip(sol[:, 1], *cfg.avlim)
+    rv = jnp.where(jnp.abs(sol[:, 1]) > 1e-10,
+                   sol[:, 2] / jnp.where(jnp.abs(sol[:, 1]) > 1e-10,
+                                         sol[:, 1], 1.0),
+                   cfg.rv_gauss[0])
+    rv = jnp.clip(rv, *cfg.rvlim)
+    return av, rv
+
+
 def optimize_mag(mags, wt_mag, mag_coeffs, av0, rv0, cfg: FitConfig):
     """Iterated alternating 2x2 weighted least-squares in magnitude space.
 
@@ -66,6 +106,8 @@ def optimize_mag(mags, wt_mag, mag_coeffs, av0, rv0, cfg: FitConfig):
     -------
     av, rv : (M,) optimized extinction parameters.
     """
+    if cfg.mag_direct_init:
+        av0, rv0 = direct_mag_init(mags, wt_mag, mag_coeffs, cfg)
     r0 = mag_coeffs[..., 1]
     dr = mag_coeffs[..., 2]                       # (M, F)
     models0, rvec0, _ = get_seds_mag(mag_coeffs, av0, rv0)

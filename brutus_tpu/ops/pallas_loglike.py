@@ -1,0 +1,344 @@
+"""
+Fused Pallas TPU kernel for the per-star grid log-likelihood.
+
+The XLA path (`ops.optimize.loglike_grid`) re-streams several
+`(B, M, F)` tensors from HBM on every optimizer iteration (~40+
+iterations), making it HBM-bandwidth-bound.  This kernel tiles the
+model axis and keeps each `(F, TILE)` coefficient block **resident in
+VMEM through every iteration of both optimization phases**, so the
+grid is read from HBM exactly once per star batch:
+
+    HBM traffic = coeffs (3*F*M*4 B)  +  outputs (11*B*M*4 B)
+
+Layout: coefficients are transposed to `(3, F, M)` so models ride the
+128-wide lanes and the F~8 filter axis sits in sublanes; all
+filter-axis reductions are cheap sublane reductions and every
+elementwise op vectorizes across 128 models at once.
+
+Semantics vs the reference (`brutus/fitting.py:579-820`): identical
+math per model, with one deliberate difference — convergence is
+tracked **per model** (a model freezes when its own update falls below
+tolerance) instead of the reference's global max-over-good-models
+predicate, which would need a cross-tile reduction every iteration.
+Frozen models have converged at least as tightly as under the global
+rule; posterior summaries agree to well below survey tolerance (see
+tests/test_pallas.py).  The reference's init-threshold cull
+(fitting.py:743-768) is likewise unnecessary here: all models are
+flux-polished, which only improves their fits.
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import FitConfig, LN2PI
+from ..utils import chi2_logpdf
+
+LN10 = math.log(10.0)
+FLUXFAC = -0.4 * LN10
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def _make_kernel(cfg: FitConfig, n_star: int):
+    avm, av_sig = cfg.av_gauss
+    rvm, rv_sig = cfg.rv_gauss
+    avvi = 1.0 / av_sig ** 2
+    rvvi = 1.0 / rv_sig ** 2
+    a_reg = 1.0 / cfg.av_reg ** 2
+    r_reg = 1.0 / cfg.rv_reg ** 2
+    avmin, avmax = cfg.avlim
+    rvmin, rvmax = cfg.rvlim
+
+    def fsum(x):
+        """Filter-axis (sublane) reduction -> (1, T) row."""
+        return jnp.sum(x, axis=0, keepdims=True)
+
+    def kernel(flux_ref, wtf_ref, mags_ref, wtm_ref, coef_ref,
+               lnl_ref, chi2_ref, scale_ref, av_ref, rv_ref,
+               sden_ref, aden_ref, rden_ref, sa_ref, sr_ref, ar_ref):
+        # Grid: (num_tiles, B); this program handles one (tile, star).
+        # The coefficient and output blocks keep the same index across
+        # the inner star steps, so they stay resident in VMEM and the
+        # grid is streamed from HBM exactly once.
+        b = pl.program_id(1)
+        mag0 = coef_ref[0]        # (F, T)
+        r0 = coef_ref[1]
+        dr = coef_ref[2]
+        T = mag0.shape[1]
+
+        def mle(av, rv, flux, wtf):
+            """Flux-space MLE re-expansion (fitting.py:430-576)."""
+            rvec_m = r0 + rv * dr
+            sed = mag0 + av * rvec_m
+            m = jnp.exp(FLUXFAC * sed)
+            rvec = FLUXFAC * m * rvec_m
+            drvec = FLUXFAC * m * dr
+            s_num = fsum(m * flux * wtf)
+            s_den = fsum(m * m * wtf)
+            scale = jnp.maximum(s_num / s_den, cfg.scale_min)
+            m_int = jnp.exp(FLUXFAC * mag0)
+            ms = m * scale
+            resid = flux - ms
+            red_s = (m - m_int) * scale
+            t = ms - resid
+            sa = fsum(rvec * t * wtf)
+            sr = fsum(drvec * t * wtf)
+            rvec_s = rvec * scale
+            drvec_s = drvec * scale
+            ar = fsum(drvec_s * (red_s - resid) * wtf)
+            a_den = fsum(rvec_s * rvec_s * wtf) + avvi + a_reg
+            r_den = fsum(drvec_s * drvec_s * wtf) + rvvi + r_reg
+            return (ms, rvec_s, drvec_s, scale, resid,
+                    s_den, a_den, r_den, sa, sr, ar)
+
+        def star_body():
+            flux = flux_ref[0]      # (F, 1)
+            wtf = wtf_ref[0]
+            mags = mags_ref[0]
+            wtm = wtm_ref[0]
+
+            # ---- phase A: magnitude-space alternating solves ----
+            av = jnp.full((1, T), cfg.av0, mag0.dtype)
+            rv = jnp.full((1, T), cfg.rv0, mag0.dtype)
+            rvec = r0 + rv * dr
+            resid = mags - (mag0 + av * rvec)
+            active = jnp.ones((1, T), mag0.dtype)
+
+            s_den_m = jnp.sum(wtm)
+            rp_den = fsum(dr * dr * wtm)
+            srp = fsum(dr * wtm)
+
+            def mag_cond(st):
+                *_, active, it = st
+                return (jnp.max(active) > 0) & (it < cfg.max_iter_mag)
+
+            def mag_body(st):
+                av, rv, rvec, resid, active, it = st
+                a_den = fsum(rvec * rvec * wtm) + avvi
+                sa = fsum(rvec * wtm)
+                rs = fsum(resid * wtm)
+                ra = fsum(resid * rvec * wtm) + (avm - av) * avvi
+                dav = (s_den_m * ra - sa * rs) / (s_den_m * a_den - sa * sa)
+                dav = jnp.clip(dav * active, avmin - av, avmax - av)
+                av = av + dav
+                resid = resid - dav * rvec
+
+                r_den = rp_den * av * av + rvvi
+                sr = srp * av
+                rs = fsum(resid * wtm)
+                rr = av * fsum(resid * dr * wtm) + (rvm - rv) * rvvi
+                drv = (s_den_m * rr - sr * rs) / (s_den_m * r_den - sr * sr)
+                drv = jnp.clip(drv * active, rvmin - rv, rvmax - rv)
+                rv = rv + drv
+                resid = resid - (av * drv) * dr
+                rvec = rvec + drv * dr
+
+                conv = jnp.maximum(jnp.abs(dav), jnp.abs(drv)) < cfg.mtol
+                active = jnp.where(conv, 0.0, active)
+                return av, rv, rvec, resid, active, it + 1
+
+            av, rv, rvec, resid, active, _ = lax.while_loop(
+                mag_cond, mag_body,
+                (av, rv, rvec, resid, active, jnp.asarray(0, jnp.int32)))
+
+            # ---- phase B/C: flux-space damped polish ----
+            (models, rvecs, drvecs, scale, residf,
+             *_ ) = mle(av, rv, flux, wtf)
+            stepsize = jnp.ones((1, T), mag0.dtype)
+            lnl_old = jnp.full((1, T), -1e30, mag0.dtype)
+            active = jnp.ones((1, T), mag0.dtype)
+
+            def flux_cond(st):
+                *_, active, it = st
+                return (jnp.max(active) > 0) & (it < cfg.max_iter_flux)
+
+            def flux_body(st):
+                (av, rv, models, rvecs, drvecs, residf, stepsize,
+                 lnl_old, active, it) = st
+                a_num = fsum(rvecs * residf * wtf) + (avm - av) * avvi
+                a_den = fsum(rvecs * rvecs * wtf) + avvi
+                dav = stepsize * a_num / a_den
+                r_num = fsum(drvecs * residf * wtf) + (rvm - rv) * rvvi
+                r_den = fsum(drvecs * drvecs * wtf) + rvvi
+                drv = stepsize * r_num / r_den
+                dav = jnp.clip(dav * active, avmin - av, avmax - av)
+                drv = jnp.clip(drv * active, rvmin - rv, rvmax - rv)
+                av = av + dav
+                rv = rv + drv
+                (models, rvecs, drvecs, scale, residf,
+                 *_ ) = mle(av, rv, flux, wtf)
+                chi2 = fsum(residf * residf * wtf)
+                lnl = -0.5 * chi2
+                conv = jnp.abs(lnl - lnl_old) < cfg.ltol
+                stepsize = jnp.where(lnl < lnl_old,
+                                     stepsize / cfg.stepsize_rescale,
+                                     stepsize)
+                active = jnp.where(conv, 0.0, active)
+                return (av, rv, models, rvecs, drvecs, residf, stepsize,
+                        lnl_old * 0 + lnl, active, it + 1)
+
+            (av, rv, models, rvecs, drvecs, residf, stepsize,
+             lnl_old, active, _) = lax.while_loop(
+                flux_cond, flux_body,
+                (av, rv, models, rvecs, drvecs, residf, stepsize,
+                 lnl_old, active, jnp.asarray(0, jnp.int32)))
+
+            # ---- final MLE expansion + outputs ----
+            (models, rvecs, drvecs, scale, residf,
+             s_den, a_den, r_den, sa, sr, ar) = mle(av, rv, flux, wtf)
+            chi2 = fsum(residf * residf * wtf)
+
+            row = pl.ds(b, 1)
+            lnl_ref[row, :] = -0.5 * chi2
+            chi2_ref[row, :] = chi2
+            scale_ref[row, :] = scale
+            av_ref[row, :] = av
+            rv_ref[row, :] = rv
+            sden_ref[row, :] = s_den
+            aden_ref[row, :] = a_den
+            rden_ref[row, :] = r_den
+            sa_ref[row, :] = sa
+            sr_ref[row, :] = sr
+            ar_ref[row, :] = ar
+
+        star_body()
+
+    return kernel
+
+
+def prepare_coeffs(mag_coeffs, tile=512):
+    """Transpose `(M, F, 3)` -> `(3, F, M_padded)` with faint padding."""
+    import numpy as np
+    mc = np.asarray(mag_coeffs, dtype=np.float32)
+    M = mc.shape[0]
+    rem = (-M) % tile
+    if rem:
+        pad = np.repeat(mc[-1:], rem, axis=0).copy()
+        pad[..., 0] += 60.0
+        mc = np.concatenate([mc, pad], axis=0)
+    return jnp.asarray(np.ascontiguousarray(mc.transpose(2, 1, 0))), M
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _prep(flux, fluxerr, mask, cfg: FitConfig):
+    """Data hygiene (mirrors ops.optimize.loglike_grid)."""
+    clean = jnp.isfinite(flux) & jnp.isfinite(fluxerr) & (fluxerr > 0)
+    mask = (mask > 0) & clean
+    flux = jnp.where(mask, flux, 0.0)
+    fluxerr = jnp.where(mask, fluxerr, 1.0)
+    ndim = jnp.sum(mask, axis=1)
+    tot_var = jnp.square(fluxerr)
+    wt_flux = jnp.where(mask, 1.0 / tot_var, 0.0)
+    pos = mask & (flux > 0)
+    safe_flux = jnp.where(pos, flux, 1.0)
+    mags = jnp.where(pos, -2.5 * jnp.log10(safe_flux), 0.0)
+    mags_var = (2.5 / LN10) ** 2 * tot_var / jnp.square(safe_flux)
+    wt_mag = jnp.where(mask,
+                       jnp.where(pos, 1.0 / mags_var, 1.0 / cfg.big_var),
+                       0.0)
+    return flux, wt_flux, mags, wt_mag, mask, ndim, tot_var
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_real"))
+def _post(outs, mask, ndim, tot_var, cfg: FitConfig, n_real=None):
+    (lnl, chi2, scale, av, rv, s_den, a_den, r_den, sa, sr, ar) = outs
+    M = lnl.shape[1]
+    # Tile-padding models are *not* inherently bad fits (the free flux
+    # scale absorbs any overall magnitude offset), so exclude them
+    # explicitly.
+    if n_real is not None and n_real < M:
+        lnl = lnl.at[:, n_real:].set(-1e30)
+        chi2 = chi2.at[:, n_real:].set(1e30)
+
+    # Gaussian constant + dimensionality prior (per star).
+    safe_var = jnp.where(mask, tot_var, 1.0)
+    const = -0.5 * (ndim * LN2PI + jnp.sum(jnp.log(safe_var) * mask,
+                                           axis=1))
+    lnl = lnl + const[:, None]
+    if cfg.dim_prior:
+        lnl = chi2_logpdf(chi2, (ndim - 3)[:, None])
+
+    icov = jnp.stack([
+        jnp.stack([s_den, sa, sr], axis=-1),
+        jnp.stack([sa, a_den, ar], axis=-1),
+        jnp.stack([sr, ar, r_den], axis=-1),
+    ], axis=-2)                                    # (B, M, 3, 3)
+
+    return dict(lnlike=lnl, ndim=ndim, chi2=chi2, scale=scale,
+                av=av, rv=rv, icov_sar=icov)
+
+
+def loglike_grid_fused(flux, fluxerr, mask, coeffs_t,
+                       parallax=None, parallax_err=None,
+                       cfg: FitConfig = FitConfig(), tile=512,
+                       interpret=False, n_real=None):
+    """Batched per-star grid log-likelihood via the fused Pallas kernel.
+
+    NOTE: deliberately NOT wrapped in `jax.jit` — the `pallas_call` is
+    dispatched eagerly because jit-wrapping a Mosaic kernel is
+    pathologically slow to lower on the remote-compile TPU backend
+    (~1000x; measured 527 s vs 0.6 s).  The pre/post stages are jitted
+    separately, and eager `pallas_call` dispatches hit the C++ cache
+    after the first call.
+
+    Parameters
+    ----------
+    flux, fluxerr, mask : (B, F) star batch (B should be a multiple
+        of 8 for clean tiling; pad if needed).
+    coeffs_t : (3, F, M) transposed coefficient grid from
+        `prepare_coeffs` (M a multiple of `tile`).
+
+    Returns
+    -------
+    Same dict as the XLA path (`lnlike, ndim, chi2, scale, av, rv,
+    icov_sar`) with a batch axis.
+    """
+    B, F = flux.shape
+    _, _, M = coeffs_t.shape
+    dtype = coeffs_t.dtype
+    flux = flux.astype(dtype)
+    fluxerr = fluxerr.astype(dtype)
+
+    flux, wt_flux, mags, wt_mag, mask, ndim, tot_var = _prep(
+        flux, fluxerr, mask, cfg)
+
+    to_col = lambda x: x[..., None]                      # (B, F, 1)
+    call = _make_call(cfg, B, F, M, tile, str(dtype), interpret)
+    outs = call(to_col(flux), to_col(wt_flux), to_col(mags),
+                to_col(wt_mag), coeffs_t)
+    return _post(tuple(outs), mask, ndim, tot_var, cfg, n_real=n_real)
+
+
+@lru_cache(maxsize=32)
+def _make_call(cfg, B, F, M, tile, dtype, interpret):
+    """Cached `pallas_call` callable — a fresh kernel closure per call
+    would miss the trace cache and re-lower the Mosaic kernel every
+    dispatch (~0.65 s each on the remote-compile backend)."""
+    num_tiles = M // tile
+    star_spec = pl.BlockSpec((1, F, 1), lambda t, b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((B, M), dtype)] * 11
+    out_specs = [pl.BlockSpec((B, tile), lambda t, b: (0, t),
+                              memory_space=pltpu.VMEM)] * 11
+    in_specs = [star_spec] * 4 + [
+        pl.BlockSpec((3, F, tile), lambda t, b: (0, 0, t),
+                     memory_space=pltpu.VMEM)]
+    return pl.pallas_call(
+        _make_kernel(cfg, B),
+        grid=(num_tiles, B),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )
+
+
+__all__ = ["loglike_grid_fused", "prepare_coeffs"]

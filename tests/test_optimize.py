@@ -149,3 +149,22 @@ def test_loglike_float32_close():
     sel = o_lnl > o_lnl.max() - 10
     np.testing.assert_allclose(got[sel] - got[sel].max(),
                                o_lnl[sel] - o_lnl[sel].max(), atol=0.05)
+
+
+def test_direct_mag_init_converges_same():
+    """The direct 3x3 seed reaches the same optimum as cold-start."""
+    nmodel, nfilt = 64, 8
+    mc = make_synthetic_grid(rng, nmodel, nfilt)
+    flux, err, mask = make_synthetic_star(rng, mc, av=0.9, rv=3.5, idx=9)
+    out_a = loglike_grid(jnp.asarray(flux), jnp.asarray(err),
+                         jnp.asarray(mask), jnp.asarray(mc),
+                         cfg=FitConfig(dim_prior=False))
+    out_b = loglike_grid(jnp.asarray(flux), jnp.asarray(err),
+                         jnp.asarray(mask), jnp.asarray(mc),
+                         cfg=FitConfig(dim_prior=False,
+                                       mag_direct_init=True))
+    la, lb = np.asarray(out_a["lnlike"]), np.asarray(out_b["lnlike"])
+    sel = la > la.max() - 10
+    np.testing.assert_allclose(lb[sel] - lb[sel].max(),
+                               la[sel] - la[sel].max(), atol=0.1)
+    assert la.argmax() == lb.argmax()

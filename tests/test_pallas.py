@@ -1,0 +1,124 @@
+"""Fused Pallas kernel vs XLA reference path (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from brutus_tpu.config import FitConfig
+from brutus_tpu.ops.optimize import loglike_grid
+from brutus_tpu.ops.pallas_loglike import loglike_grid_fused, prepare_coeffs
+
+rng = np.random.default_rng(77)
+
+
+def _problem(n_model=256, n_filt=8, n_star=8):
+    mc = np.stack([rng.uniform(8.0, 16.0, (n_model, n_filt)),
+                   rng.uniform(0.4, 1.1, (n_model, n_filt)),
+                   rng.uniform(0.05, 0.2, (n_model, n_filt))],
+                  axis=-1).astype(np.float32)
+    idx = rng.integers(0, n_model, n_star)
+    av = rng.uniform(0.1, 1.2, n_star)
+    rv = rng.uniform(2.8, 3.8, n_star)
+    dist = rng.uniform(0.5, 2.0, n_star)
+    sed = (mc[idx, :, 0] + av[:, None] * (mc[idx, :, 1]
+                                          + rv[:, None] * mc[idx, :, 2]))
+    flux = 10 ** (-0.4 * sed) / dist[:, None] ** 2
+    err = flux / 60.0
+    flux = flux + rng.normal(size=flux.shape) * err
+    return mc, flux.astype(np.float32), err.astype(np.float32), idx
+
+
+def test_fused_matches_xla_path():
+    mc, flux, err, idx = _problem(n_model=250)  # forces tile padding
+    mask = np.ones(flux.shape, bool)
+    cfg = FitConfig(dim_prior=False)
+
+    coeffs_t, n_real = prepare_coeffs(mc, tile=128)
+    fused = loglike_grid_fused(jnp.asarray(flux), jnp.asarray(err),
+                               jnp.asarray(mask), coeffs_t, cfg=cfg,
+                               tile=128, interpret=True, n_real=n_real)
+    ref = jax.vmap(lambda f, e, m: loglike_grid(f, e, m, jnp.asarray(mc),
+                                                cfg=cfg))(
+        jnp.asarray(flux), jnp.asarray(err), jnp.asarray(mask))
+
+    lnl_f = np.asarray(fused["lnlike"], np.float64)[:, :n_real]
+    lnl_r = np.asarray(ref["lnlike"], np.float64)
+    # Same winning models.
+    np.testing.assert_array_equal(lnl_f.argmax(1), lnl_r.argmax(1))
+    assert (lnl_f.argmax(1) == idx).all()
+    # Relative log-likelihoods of the dominant models agree closely
+    # (per-model vs global convergence differs only below tolerance).
+    for b in range(len(flux)):
+        sel = lnl_r[b] > lnl_r[b].max() - 10.0
+        d_f = lnl_f[b, sel] - lnl_f[b, sel].max()
+        d_r = lnl_r[b, sel] - lnl_r[b, sel].max()
+        np.testing.assert_allclose(d_f, d_r, atol=0.1)
+    # MLE parameters of the winners agree.
+    w = lnl_r.argmax(1)
+    rows = np.arange(len(flux))
+    np.testing.assert_allclose(np.asarray(fused["av"])[rows, w],
+                               np.asarray(ref["av"])[rows, w], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(fused["rv"])[rows, w],
+                               np.asarray(ref["rv"])[rows, w], atol=5e-3)
+    np.testing.assert_allclose(np.asarray(fused["scale"])[rows, w],
+                               np.asarray(ref["scale"])[rows, w],
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(fused["icov_sar"])[rows, w],
+                               np.asarray(ref["icov_sar"])[rows, w],
+                               rtol=2e-2, atol=1e-3)
+    # Padded models are explicitly excluded.
+    assert np.asarray(fused["lnlike"])[:, n_real:].max() < -1e29
+
+
+def test_fused_masked_band_and_dim_prior():
+    mc, flux, err, idx = _problem(n_star=8)
+    mask = np.ones(flux.shape, bool)
+    mask[:, 3] = False
+    cfg = FitConfig()
+    coeffs_t, n_real = prepare_coeffs(mc, tile=128)
+    fused = loglike_grid_fused(jnp.asarray(flux), jnp.asarray(err),
+                               jnp.asarray(mask), coeffs_t, cfg=cfg,
+                               tile=128, interpret=True)
+    ref = jax.vmap(lambda f, e, m: loglike_grid(f, e, m, jnp.asarray(mc),
+                                                cfg=cfg))(
+        jnp.asarray(flux), jnp.asarray(err), jnp.asarray(mask))
+    assert (np.asarray(fused["ndim"]) == 7).all()
+    lnl_f = np.asarray(fused["lnlike"])[:, :n_real]
+    lnl_r = np.asarray(ref["lnlike"])
+    np.testing.assert_array_equal(lnl_f.argmax(1), lnl_r.argmax(1))
+
+
+def test_bruteforce_fused_engine():
+    """BruteForce with engine='fused' matches the XLA engine posteriors."""
+    mc, flux, err, idx = _problem(n_model=300, n_star=8)
+    from brutus_tpu.fitting import BruteForce
+    ltype = np.dtype([("mini", float), ("feh", float), ("loga", float)])
+    labels = np.zeros(len(mc), dtype=ltype)
+    labels["mini"] = rng.uniform(0.5, 2.0, len(mc))
+    labels["feh"] = rng.uniform(-2.0, 0.3, len(mc))
+    labels["loga"] = rng.uniform(8.0, 10.1, len(mc))
+    mask = np.ones(flux.shape, bool)
+    coords = np.tile([204.7, -19.2], (len(flux), 1))
+    kw = dict(save_file=None, data_coords=coords,
+              parallax=np.full(len(flux), 1.0),
+              parallax_err=np.full(len(flux), 0.05),
+              Nmc_prior=16, Ndraws=64, n_sel_max=64,
+              verbose=False, return_results=True)
+    import brutus_tpu.ops.pallas_loglike as pk
+    import jax.experimental.pallas as pl_mod
+    # Run the pallas kernel in interpreter mode on CPU.
+    orig = pk.pl.pallas_call
+    pk.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        bf = BruteForce(mc, labels)
+        out_f = bf.fit(flux, err, mask, batch_size=8, engine="fused",
+                       tile=128, **kw)
+    finally:
+        pk.pl.pallas_call = orig
+    out_x = BruteForce(mc, labels).fit(flux, err, mask, batch_size=8,
+                                       engine="xla", **kw)
+    d_f = np.median(out_f["dist"], axis=1)
+    d_x = np.median(out_x["dist"], axis=1)
+    np.testing.assert_allclose(d_f, d_x, rtol=0.05)
+    np.testing.assert_allclose(out_f["log_evidence"],
+                               out_x["log_evidence"], atol=0.5)
