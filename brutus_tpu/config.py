@@ -104,6 +104,14 @@ class PosteriorConfig:
     n_sel_max: int = 4096
     apply_av_prior: bool = True
     apply_dlabels: bool = True
+    # Likelihood-rank prefilter applied before the (expensive) Galactic
+    # and dust priors are evaluated.  The reference's cull #1
+    # (fitting.py:987-997) already guarantees models far below the
+    # maximum likelihood cannot survive, so evaluating priors for the
+    # top `prefilter_k` candidates only (selected with the TPU-optimized
+    # `approx_max_k`) is equivalent up to the reference's own memory-cap
+    # truncation.  Set to 0 to disable.
+    prefilter_k: int = 16384
     # PSD repair (fitting.py:1042-1065): escalating diagonal Gaussian
     # priors, doubled each pass; fixed pass count for static control flow.
     psd_width: float = 0.02

@@ -66,10 +66,21 @@ class Bayestar(DustMap):
         """Data row for each `(l, b)`; -1 where uncovered.
 
         Parity: reference `brutus/dust.py:231-265` (multi-nside
-        searchsorted; finer levels override coarser ones).
+        searchsorted; finer levels override coarser ones).  Uses the
+        native C++ lookup when available.
         """
         l = np.atleast_1d(l)
         b = np.atleast_1d(b)
+        from . import native
+        if native.load() is not None:
+            offsets = np.cumsum([0] + [len(h) for h in
+                                       self._hp_idx_sorted])
+            out = native.dustmap_lookup(
+                l, b, np.asarray(self._nside_levels, np.int64), offsets,
+                np.concatenate(self._hp_idx_sorted).astype(np.int64),
+                np.concatenate(self._data_idx).astype(np.int64))
+            if out is not None:
+                return out
         out = np.full(l.shape, -1, dtype=np.int64)
         for k, nside in enumerate(self._nside_levels):
             ipix = lb2pix(int(nside), l, b, nest=True)

@@ -79,15 +79,21 @@ def ang2pix_nest(nside, theta, phi):
     return pix
 
 
-def lb2pix(nside, l, b, nest=True):
+def lb2pix(nside, l, b, nest=True, use_native=True):
     """Galactic `(l, b)` degrees -> HEALPix pixel index.
 
     Parity: reference `brutus/dust.py:22-68` (invalid latitudes map to -1).
+    Uses the native C++ implementation when available.
     """
     if not nest:
         raise NotImplementedError("only nested ordering is supported")
     l = np.atleast_1d(np.asarray(l, dtype=np.float64))
     b = np.atleast_1d(np.asarray(b, dtype=np.float64))
+    if use_native:
+        from . import native
+        out = native.lb2pix_nest(nside, l, b)
+        if out is not None:
+            return out
     valid = (b >= -90.0) & (b <= 90.0)
     theta = np.radians(90.0 - np.clip(b, -90.0, 90.0))
     phi = np.radians(l)

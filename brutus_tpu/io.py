@@ -68,6 +68,45 @@ def fetch(name, target_dir=None):
     raise NotImplementedError("network fetching is disabled in this build")
 
 
+def _fetch_group(names, target_dir=None):
+    for name in names:
+        fetch(name, target_dir=target_dir)
+
+
+def fetch_isos(target_dir=None):
+    """Fetch the MIST isochrone files (reference `utils.py:363-387`)."""
+    _fetch_group(["MIST_1.2_iso_vvcrit0.0.h5", "MIST_1.2_iso_vvcrit0.4.h5"],
+                 target_dir)
+
+
+def fetch_tracks(target_dir=None):
+    """Fetch the MIST EEP track file (reference `utils.py:390-410`)."""
+    _fetch_group(["MIST_1.2_EEPtrk.h5"], target_dir)
+
+
+def fetch_dustmaps(target_dir=None):
+    """Fetch the Bayestar19 3-D dust map (reference `utils.py:413-433`)."""
+    _fetch_group(["bayestar2019_v1.h5"], target_dir)
+
+
+def fetch_grids(target_dir=None, versions=("v9",)):
+    """Fetch pre-computed model grids (reference `utils.py:436-463`)."""
+    names = {"v8": "grid_mist_v8.h5", "v9": "grid_mist_v9.h5",
+             "bayestar": "grid_bayestar_v5.h5"}
+    _fetch_group([names[v] for v in versions], target_dir)
+
+
+def fetch_offsets(target_dir=None):
+    """Fetch photometric offset tables (reference `utils.py:466-493`)."""
+    _fetch_group(["offsets_mist_v8.txt", "offsets_mist_v9.txt",
+                  "offsets_bs_v9.txt"], target_dir)
+
+
+def fetch_nns(target_dir=None):
+    """Fetch the BC neural-network file (reference `utils.py:496-517`)."""
+    _fetch_group(["nn_c3k.h5"], target_dir)
+
+
 def load_models(filepath, filters=None, labels=None,
                 include_ms=True, include_postms=True, include_binaries=False,
                 dtype=np.float32, verbose=True):
@@ -284,5 +323,7 @@ def load_results(path):
 
 
 __all__ = ["load_models", "save_models", "load_offsets", "fetch",
+           "fetch_isos", "fetch_tracks", "fetch_dustmaps", "fetch_grids",
+           "fetch_offsets", "fetch_nns",
            "data_dir", "ResultsWriter", "load_results",
            "DATAVERSE_DOIS", "DEFAULT_LABELS"]

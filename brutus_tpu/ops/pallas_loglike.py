@@ -56,6 +56,8 @@ def _make_kernel(cfg: FitConfig, n_star: int):
     r_reg = 1.0 / cfg.rv_reg ** 2
     avmin, avmax = cfg.avlim
     rvmin, rvmax = cfg.rvlim
+    ln_init_thresh = math.log(cfg.init_thresh)
+    ln_subthresh = math.log(cfg.ltol_subthresh)
 
     def fsum(x):
         """Filter-axis (sublane) reduction -> (1, T) row."""
@@ -74,17 +76,18 @@ def _make_kernel(cfg: FitConfig, n_star: int):
         dr = coef_ref[2]
         T = mag0.shape[1]
 
+        # Iteration-invariant intrinsic fluxes (hoisted out of `mle`).
+        m_int = jnp.exp(FLUXFAC * mag0)
+
         def mle(av, rv, flux, wtf):
             """Flux-space MLE re-expansion (fitting.py:430-576)."""
             rvec_m = r0 + rv * dr
-            sed = mag0 + av * rvec_m
-            m = jnp.exp(FLUXFAC * sed)
+            m = m_int * jnp.exp(FLUXFAC * (av * rvec_m))
             rvec = FLUXFAC * m * rvec_m
             drvec = FLUXFAC * m * dr
             s_num = fsum(m * flux * wtf)
             s_den = fsum(m * m * wtf)
             scale = jnp.maximum(s_num / s_den, cfg.scale_min)
-            m_int = jnp.exp(FLUXFAC * mag0)
             ms = m * scale
             resid = flux - ms
             red_s = (m - m_int) * scale
@@ -141,8 +144,16 @@ def _make_kernel(cfg: FitConfig, n_star: int):
                 resid = resid - (av * drv) * dr
                 rvec = rvec + drv * dr
 
+                # Freeze converged models AND models far below the
+                # tile's best fit: the reference's convergence test
+                # ignores them (fitting.py:253-260) and they are culled
+                # before the posterior stage regardless, so iterating
+                # them only serves tile stragglers.
+                chi2 = fsum(resid * resid * wtm)
+                logwt = -0.5 * chi2
+                bad = logwt < jnp.max(logwt) + ln_init_thresh
                 conv = jnp.maximum(jnp.abs(dav), jnp.abs(drv)) < cfg.mtol
-                active = jnp.where(conv, 0.0, active)
+                active = jnp.where(conv | bad, 0.0, active)
                 return av, rv, rvec, resid, active, it + 1
 
             av, rv, rvec, resid, active, _ = lax.while_loop(
@@ -178,10 +189,11 @@ def _make_kernel(cfg: FitConfig, n_star: int):
                 chi2 = fsum(residf * residf * wtf)
                 lnl = -0.5 * chi2
                 conv = jnp.abs(lnl - lnl_old) < cfg.ltol
+                bad = lnl < jnp.max(lnl) + ln_subthresh
                 stepsize = jnp.where(lnl < lnl_old,
                                      stepsize / cfg.stepsize_rescale,
                                      stepsize)
-                active = jnp.where(conv, 0.0, active)
+                active = jnp.where(conv | bad, 0.0, active)
                 return (av, rv, models, rvecs, drvecs, residf, stepsize,
                         lnl_old * 0 + lnl, active, it + 1)
 

@@ -113,9 +113,28 @@ def lnpost_grid(key, results, lnprior_grid, coord,
     lnprob = lnlike + scale_parallax_lnprior(scale, scale_err,
                                              parallax, parallax_err)
     lnprob = jnp.where(jnp.isfinite(lnprob), lnprob, NEG_BIG)
+    lnprob_max = jnp.max(lnprob)
+
+    # --- likelihood-rank prefilter: restrict the expensive prior
+    # evaluations to the top candidates (see PosteriorConfig.prefilter_k;
+    # models below cull #1's threshold can never survive anyway) ---
+    K1 = cfg.prefilter_k
+    if K1 and K1 < M:
+        _, pre_idx = jax.lax.approx_max_k(lnprob, K1,
+                                          recall_target=0.95)
+        sub = lambda x: x[pre_idx] if x is not None else None
+        lnlike, chi2, scale, av, rv = (sub(lnlike), sub(chi2),
+                                       sub(scale), sub(av), sub(rv))
+        icov = icov[pre_idx]
+        lnprob = sub(lnprob)
+        lnprior_grid = sub(lnprior_grid)
+        feh, loga = sub(feh), sub(loga)
+    else:
+        pre_idx = None
+    K = min(K, lnprob.shape[0])
 
     # --- cull #1 on likelihood (+parallax) (fitting.py:987-997) ---
-    mask1 = lnprob > jnp.max(lnprob) + ln_wt_thresh
+    mask1 = lnprob > lnprob_max + ln_wt_thresh
 
     # --- MLE-solution priors (fitting.py:999-1010) ---
     dist = 1.0 / jnp.sqrt(jnp.maximum(scale, 1e-300))
@@ -135,10 +154,12 @@ def lnpost_grid(key, results, lnprior_grid, coord,
 
     # --- fixed-size top-K selection (replaces the memory cap,
     # fitting.py:1029-1036) ---
-    lnp_sel, sel_idx = jax.lax.top_k(score, K)
+    lnp_sel, sel_loc = jax.lax.top_k(score, K)
+    # Global model indices for the outputs; local ones for the gathers.
+    sel_idx = pre_idx[sel_loc] if pre_idx is not None else sel_loc
     valid = jnp.isfinite(lnp_sel)
     lnp_sel = jnp.where(valid, lnp_sel, NEG_BIG)
-    take = lambda x: x[sel_idx]
+    take = lambda x: x[sel_loc]
     scale_k, av_k, rv_k = take(scale), take(av), take(rv)
     icov_k = take(icov)
     chi2_k = take(chi2)

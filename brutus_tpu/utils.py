@@ -15,6 +15,34 @@ from jax.scipy.special import gammaln, erf
 LN10 = jnp.log(10.0)
 
 
+class function_wrapper:
+    """Pickleable closure: binds args/kwargs to a function so it can
+    cross process boundaries (multiprocessing pools, dynesty workers).
+
+    Parity: reference `brutus/utils.py:43-68` (`_function_wrapper`, the
+    emcee-style aid); errors are re-raised with the offending inputs
+    printed for debuggability.
+    """
+
+    def __init__(self, func, args=None, kwargs=None, name="input"):
+        self.func = func
+        self.args = args or []
+        self.kwargs = kwargs or {}
+        self.name = name
+
+    def __call__(self, x):
+        try:
+            return self.func(x, *self.args, **self.kwargs)
+        except Exception:
+            import traceback
+            print(f"Exception while calling {self.name} function:")
+            print("  params:", x)
+            print("  args:", self.args)
+            print("  kwargs:", self.kwargs)
+            traceback.print_exc()
+            raise
+
+
 # ---------------------------------------------------------------------------
 # Photometric transforms (parity: reference brutus/utils.py:908-1086)
 # ---------------------------------------------------------------------------

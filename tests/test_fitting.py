@@ -216,3 +216,32 @@ def test_bruteforce_lnprior_ext(tmp_path):
     feh_pin = np.median(LABELS["feh"][pinned["model_idx"][0]])
     assert abs(feh_pin - target) < abs(feh_base - target) + 0.2
     assert abs(feh_pin - target) < 0.4
+
+
+def test_lnpost_prefilter_equivalence():
+    """The likelihood-rank prefilter reproduces the unfiltered posterior."""
+    flux, err = make_star(MC, 33, 0.5, 3.2, 1.1)
+    res = loglike_grid(jnp.asarray(flux), jnp.asarray(err),
+                       jnp.ones(NFILT, bool), jnp.asarray(MC),
+                       cfg=FitConfig())
+    kw = dict(parallax=jnp.asarray(0.9), parallax_err=jnp.asarray(0.05),
+              feh=jnp.asarray(LABELS["feh"]),
+              loga=jnp.asarray(LABELS["loga"]))
+    out_full = lnpost_grid(jax.random.PRNGKey(3), res, jnp.zeros(NMODEL),
+                           jnp.asarray(COORD),
+                           cfg=PosteriorConfig(n_sel_max=32, n_mc_prior=64,
+                                               n_draws=100, prefilter_k=0),
+                           **kw)
+    out_pre = lnpost_grid(jax.random.PRNGKey(3), res, jnp.zeros(NMODEL),
+                          jnp.asarray(COORD),
+                          cfg=PosteriorConfig(n_sel_max=32, n_mc_prior=64,
+                                              n_draws=100,
+                                              prefilter_k=128),
+                          **kw)
+    # Same surviving (valid) model set and (MC-noise-level) evidence.
+    v_full = np.asarray(out_full["sel_idx"])[
+        np.asarray(out_full["valid_sel"])]
+    v_pre = np.asarray(out_pre["sel_idx"])[np.asarray(out_pre["valid_sel"])]
+    np.testing.assert_array_equal(np.sort(v_full), np.sort(v_pre))
+    assert abs(float(out_full["log_evidence"])
+               - float(out_pre["log_evidence"])) < 0.3
