@@ -226,7 +226,7 @@ def _make_kernel(cfg: FitConfig, n_star: int):
     return kernel
 
 
-def prepare_coeffs(mag_coeffs, tile=512):
+def prepare_coeffs(mag_coeffs, tile=2048):
     """Transpose `(M, F, 3)` -> `(3, F, M_padded)` with faint padding."""
     import numpy as np
     mc = np.asarray(mag_coeffs, dtype=np.float32)
@@ -278,19 +278,29 @@ def _post(outs, mask, ndim, tot_var, cfg: FitConfig, n_real=None):
     if cfg.dim_prior:
         lnl = chi2_logpdf(chi2, (ndim - 3)[:, None])
 
-    icov = jnp.stack([
+    # The 3x3 precisions are carried as their 6 unique components;
+    # assembling a (B, M, 3, 3) tensor here would cost ~50% more HBM
+    # traffic than the whole kernel.  `lnpost_grid` gathers the top-k
+    # rows first and `icov_from_parts` assembles those only.
+    return dict(lnlike=lnl, ndim=ndim, chi2=chi2, scale=scale,
+                av=av, rv=rv,
+                icov_parts=(s_den, a_den, r_den, sa, sr, ar))
+
+
+def icov_from_parts(parts):
+    """Assemble `(..., 3, 3)` precisions from the 6 unique components
+    `(s_den, a_den, r_den, sa, sr, ar)`."""
+    s_den, a_den, r_den, sa, sr, ar = parts
+    return jnp.stack([
         jnp.stack([s_den, sa, sr], axis=-1),
         jnp.stack([sa, a_den, ar], axis=-1),
         jnp.stack([sr, ar, r_den], axis=-1),
-    ], axis=-2)                                    # (B, M, 3, 3)
-
-    return dict(lnlike=lnl, ndim=ndim, chi2=chi2, scale=scale,
-                av=av, rv=rv, icov_sar=icov)
+    ], axis=-2)
 
 
 def loglike_grid_fused(flux, fluxerr, mask, coeffs_t,
                        parallax=None, parallax_err=None,
-                       cfg: FitConfig = FitConfig(), tile=512,
+                       cfg: FitConfig = FitConfig(), tile=2048,
                        interpret=False, n_real=None):
     """Batched per-star grid log-likelihood via the fused Pallas kernel.
 

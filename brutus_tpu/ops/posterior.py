@@ -31,6 +31,33 @@ from ..priors import (gal_lnprior, dust_lnprior, parallax_lnprior,
 NEG_BIG = -1e30
 
 
+def _cull_mask(lnp, wt_thresh, cdf_thresh, base_mask=None):
+    """Relative-weight or CDF threshold culling mask.
+
+    Parity: reference `brutus/fitting.py:987-997` / `:1012-1022`:
+    either keep models within `wt_thresh` of the max weight, or (when
+    `wt_thresh` is None) keep the models covering all but `cdf_thresh`
+    of the cumulative probability.  NOTE: the reference accumulates the
+    CDF over an *ascending* sort, which literally drops the
+    highest-weight models; this implements the documented intent
+    (descending sort: the smallest model set containing `1-cdf_thresh`
+    of the posterior mass always includes the best model).
+    """
+    if base_mask is not None:
+        lnp = jnp.where(base_mask, lnp, -jnp.inf)
+    if wt_thresh is not None:
+        mask = lnp > jnp.max(lnp) + math.log(wt_thresh)
+    else:
+        order = jnp.argsort(-lnp)
+        prob = jax.nn.softmax(lnp[order])
+        cdf = jnp.cumsum(prob)
+        keep_sorted = (cdf - prob) <= (1.0 - cdf_thresh)  # include crosser
+        mask = jnp.zeros_like(keep_sorted).at[order].set(keep_sorted)
+    if base_mask is not None:
+        mask = mask & base_mask
+    return mask
+
+
 def _psd_repair(icov, cov, scale, valid, cfg: PosteriorConfig):
     """Escalating diagonal-prior repair of non-PSD covariances.
 
@@ -99,17 +126,21 @@ def lnpost_grid(key, results, lnprior_grid, coord,
     scale = results["scale"]
     av = results["av"]
     rv = results["rv"]
-    icov = results["icov_sar"]
+    # Precisions arrive either assembled (XLA path, API parity) or as
+    # their 6 unique components (fused path; avoids materializing a
+    # (M, 3, 3) tensor before the top-k gather).
+    icov_parts = results.get("icov_parts")
+    icov = results.get("icov_sar")
     ndim = results["ndim"]
     dtype = lnlike.dtype
     M = lnlike.shape[0]
     K = min(cfg.n_sel_max, M)
     Nmc = cfg.n_mc_prior
-    ln_wt_thresh = math.log(cfg.wt_thresh)
 
     # --- rough parallax prior in scale space for clipping
     # (fitting.py:975-985) ---
-    scale_err = 1.0 / jnp.sqrt(jnp.abs(icov[:, 0, 0]))
+    s_den0 = icov_parts[0] if icov_parts is not None else icov[:, 0, 0]
+    scale_err = 1.0 / jnp.sqrt(jnp.abs(s_den0))
     lnprob = lnlike + scale_parallax_lnprior(scale, scale_err,
                                              parallax, parallax_err)
     lnprob = jnp.where(jnp.isfinite(lnprob), lnprob, NEG_BIG)
@@ -125,7 +156,10 @@ def lnpost_grid(key, results, lnprior_grid, coord,
         sub = lambda x: x[pre_idx] if x is not None else None
         lnlike, chi2, scale, av, rv = (sub(lnlike), sub(chi2),
                                        sub(scale), sub(av), sub(rv))
-        icov = icov[pre_idx]
+        if icov_parts is not None:
+            icov_parts = tuple(sub(p) for p in icov_parts)
+        else:
+            icov = icov[pre_idx]
         lnprob = sub(lnprob)
         lnprior_grid = sub(lnprior_grid)
         feh, loga = sub(feh), sub(loga)
@@ -134,7 +168,10 @@ def lnpost_grid(key, results, lnprior_grid, coord,
     K = min(K, lnprob.shape[0])
 
     # --- cull #1 on likelihood (+parallax) (fitting.py:987-997) ---
-    mask1 = lnprob > lnprob_max + ln_wt_thresh
+    if cfg.wt_thresh is not None:
+        mask1 = lnprob > lnprob_max + math.log(cfg.wt_thresh)
+    else:
+        mask1 = _cull_mask(lnprob, None, cfg.cdf_thresh)
 
     # --- MLE-solution priors (fitting.py:999-1010) ---
     dist = 1.0 / jnp.sqrt(jnp.maximum(scale, 1e-300))
@@ -149,7 +186,8 @@ def lnpost_grid(key, results, lnprior_grid, coord,
 
     # --- cull #2 on posterior, then re-base to lnlike + static prior
     # (fitting.py:1012-1023) ---
-    mask2 = mask1 & (lnp_mle > jnp.max(lnp_mle) + ln_wt_thresh)
+    mask2 = _cull_mask(lnp_mle, cfg.wt_thresh, cfg.cdf_thresh,
+                       base_mask=mask1)
     score = jnp.where(mask2, lnlike + lnprior_grid, -jnp.inf)
 
     # --- fixed-size top-K selection (replaces the memory cap,
@@ -161,7 +199,11 @@ def lnpost_grid(key, results, lnprior_grid, coord,
     lnp_sel = jnp.where(valid, lnp_sel, NEG_BIG)
     take = lambda x: x[sel_loc]
     scale_k, av_k, rv_k = take(scale), take(av), take(rv)
-    icov_k = take(icov)
+    if icov_parts is not None:
+        from .pallas_loglike import icov_from_parts
+        icov_k = icov_from_parts(tuple(take(p) for p in icov_parts))
+    else:
+        icov_k = take(icov)
     chi2_k = take(chi2)
     feh_k = take(feh) if feh is not None else None
     loga_k = take(loga) if loga is not None else None

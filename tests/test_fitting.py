@@ -245,3 +245,22 @@ def test_lnpost_prefilter_equivalence():
     np.testing.assert_array_equal(np.sort(v_full), np.sort(v_pre))
     assert abs(float(out_full["log_evidence"])
                - float(out_pre["log_evidence"])) < 0.3
+
+
+def test_lnpost_cdf_threshold_mode():
+    """wt_thresh=None switches to the CDF-based cull (reference
+    fitting.py:992-997)."""
+    flux, err = make_star(MC, 90, 0.4, 3.3, 1.0)
+    res = loglike_grid(jnp.asarray(flux), jnp.asarray(err),
+                       jnp.ones(NFILT, bool), jnp.asarray(MC),
+                       cfg=FitConfig())
+    out = lnpost_grid(jax.random.PRNGKey(5), res, jnp.zeros(NMODEL),
+                      jnp.asarray(COORD),
+                      cfg=PosteriorConfig(n_sel_max=64, n_mc_prior=32,
+                                          n_draws=64, wt_thresh=None,
+                                          cdf_thresh=2e-3))
+    assert np.isfinite(float(out["log_evidence"]))
+    assert int(np.asarray(out["valid_sel"]).sum()) >= 1
+    # The best-likelihood model must survive a CDF cull.
+    best = int(np.asarray(res["lnlike"]).argmax())
+    assert best in np.asarray(out["sel_idx"])[np.asarray(out["valid_sel"])]

@@ -66,7 +66,9 @@ def test_fused_matches_xla_path():
     np.testing.assert_allclose(np.asarray(fused["scale"])[rows, w],
                                np.asarray(ref["scale"])[rows, w],
                                rtol=5e-3)
-    np.testing.assert_allclose(np.asarray(fused["icov_sar"])[rows, w],
+    from brutus_tpu.ops.pallas_loglike import icov_from_parts
+    fused_icov = np.asarray(icov_from_parts(fused["icov_parts"]))
+    np.testing.assert_allclose(fused_icov[rows, w],
                                np.asarray(ref["icov_sar"])[rows, w],
                                rtol=5e-2, atol=1e-2)
     # Padded models are explicitly excluded.
