@@ -55,11 +55,14 @@ def main():
     ap.add_argument("--nmc", type=int, default=50)
     ap.add_argument("--ndraws", type=int, default=250)
     ap.add_argument("--nsel", type=int, default=4096)
-    ap.add_argument("--engine", choices=["xla", "fused"], default="fused",
+    ap.add_argument("--engine", choices=["xla", "fused"], default="xla",
                     help="likelihood engine: plain XLA or fused Pallas")
     ap.add_argument("--tile", type=int, default=2048)
     ap.add_argument("--loglike-only", action="store_true",
                     help="benchmark the likelihood stage alone")
+    ap.add_argument("--direct-init", action="store_true",
+                    help="seed the mag phase with the direct 3x3 solve")
+    ap.add_argument("--prefilter", type=int, default=16384)
     args = ap.parse_args()
 
     if args.smoke:
@@ -80,9 +83,10 @@ def main():
     dust_mean = jnp.linspace(0.0, 1.5, 120, dtype=jnp.float32)
     dust_std = jnp.full(120, 0.2, jnp.float32)
 
-    fit_cfg = FitConfig()
+    fit_cfg = FitConfig(mag_direct_init=args.direct_init)
     post_cfg = PosteriorConfig(n_mc_prior=args.nmc, n_draws=args.ndraws,
-                               n_sel_max=min(args.nsel, M))
+                               n_sel_max=min(args.nsel, M),
+                               prefilter_k=args.prefilter)
 
     mc_d = jnp.asarray(mc)
     feh_d = jnp.asarray(feh, mc_d.dtype)

@@ -119,6 +119,33 @@ class Bayestar(DustMap):
         return self._distances, avm, avs
 
 
+def uniform_profile(av_dist, av_mean, av_std, n=256):
+    """Resample LOS profiles onto a uniform distance ladder.
+
+    The Bayestar ladder is uniform in distance modulus; the device-side
+    `priors.dust_lnprior` requires a uniform-in-distance ladder so the
+    interpolation index is pure arithmetic (no searchsorted, which
+    dominates posterior-stage runtime on TPU).
+
+    Parameters
+    ----------
+    av_dist : (Ndist,); av_mean, av_std : (..., Ndist)
+
+    Returns
+    -------
+    dist_u : (n,) uniform ladder; mean_u, std_u : (..., n).
+    """
+    av_dist = np.asarray(av_dist, dtype=float)
+    dist_u = np.linspace(av_dist[0], av_dist[-1], n)
+    mean = np.atleast_2d(av_mean)
+    std = np.atleast_2d(av_std)
+    mean_u = np.stack([np.interp(dist_u, av_dist, m) for m in mean])
+    std_u = np.stack([np.interp(dist_u, av_dist, s) for s in std])
+    if np.ndim(av_mean) == 1:
+        mean_u, std_u = mean_u[0], std_u[0]
+    return dist_u, mean_u, std_u
+
+
 def write_bayestar_file(path, pixel_nside, pixel_index, dists,
                         av_mean, av_std):
     """Write a Bayestar-schema dust map file (used for tests/fixtures and
@@ -135,4 +162,5 @@ def write_bayestar_file(path, pixel_nside, pixel_index, dists,
         f.create_dataset("av_std", data=np.asarray(av_std, dtype=np.float32))
 
 
-__all__ = ["DustMap", "Bayestar", "write_bayestar_file"]
+__all__ = ["DustMap", "Bayestar", "uniform_profile",
+           "write_bayestar_file"]

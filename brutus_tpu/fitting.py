@@ -268,10 +268,14 @@ class BruteForce:
             dustmap = Bayestar(dustfile)
         apply_av_prior = (dustmap is not None) and (av_gauss is None)
         if apply_av_prior:
+            from .dustmap import uniform_profile
             dust_dist, dust_mean, dust_std = dustmap.query(
                 (data_coords[:, 0], data_coords[:, 1]))
-            dust_mean = np.atleast_2d(dust_mean)
-            dust_std = np.atleast_2d(dust_std)
+            # Uniform-in-distance ladder: the device-side dust prior
+            # interpolates by direct index arithmetic (no searchsorted).
+            dust_dist, dust_mean, dust_std = uniform_profile(
+                dust_dist, np.atleast_2d(dust_mean),
+                np.atleast_2d(dust_std))
             dust_dist = jnp.asarray(dust_dist)
         else:
             dust_dist = dust_mean = dust_std = None

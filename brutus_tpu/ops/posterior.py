@@ -216,9 +216,10 @@ def lnpost_grid(key, results, lnprior_grid, coord,
     # (fitting.py:1068-1098) ---
     kmvn, kidx, kmc = jax.random.split(key, 3)
     mean = jnp.stack([scale_k, av_k, rv_k], axis=-1)          # (K, 3)
-    L = jnp.linalg.cholesky(cov_k + cfg.mvn_eps * jnp.eye(3, dtype=dtype))
+    from ..utils import cholesky3, mvn3_transform
+    L = cholesky3(cov_k + cfg.mvn_eps * jnp.eye(3, dtype=dtype))
     z = jax.random.normal(kmvn, (K, 3, Nmc), dtype=dtype)
-    samps = mean[:, :, None] + L @ z                          # (K, 3, Nmc)
+    samps = mvn3_transform(mean, L, z)                        # (K, 3, Nmc)
     s_mc, a_mc, r_mc = samps[:, 0], samps[:, 1], samps[:, 2]  # (K, Nmc)
 
     par_mc = jnp.sqrt(jnp.maximum(s_mc, 1e-300))

@@ -281,12 +281,43 @@ def dust_lnprior(dists, avs, av_dist, av_mean, av_std,
     profile onto the sampled distances.  Uncovered sightlines (NaN
     profiles) get a uniform prior, as in the reference.
 
+    PERFORMANCE NOTE: `av_dist` must be a **uniform** ladder — the
+    interpolation index is computed arithmetically, because
+    `jnp.interp`'s searchsorted dominates the entire posterior stage on
+    TPU (~75% of it).  `dustmap.uniform_profile` resamples raw Bayestar
+    profiles (which are uniform in distance modulus, not distance) onto
+    a uniform ladder host-side.  For arbitrary ladders use
+    `dust_lnprior_interp`.
+
     Parameters
     ----------
     dists, avs : (...,) distance (kpc) / reddening draws.
-    av_dist : (Ndist,) profile distance ladder.
+    av_dist : (Ndist,) *uniform* profile distance ladder.
     av_mean, av_std : (Ndist,) LOS profile (NaN when uncovered).
     """
+    covered = jnp.all(jnp.isfinite(av_mean) & jnp.isfinite(av_std))
+    safe_mean = jnp.where(jnp.isfinite(av_mean), av_mean, 0.0)
+    safe_std = jnp.where(jnp.isfinite(av_std), av_std, 1.0)
+    n = av_dist.shape[0]
+    d0 = av_dist[0]
+    dx = av_dist[1] - av_dist[0]
+    u = (dists - d0) / dx
+    i = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, n - 2)
+    w = jnp.clip(u - i, 0.0, 1.0)       # endpoint clamp (interp parity)
+    mean_i = (1.0 - w) * safe_mean[i] + w * safe_mean[i + 1]
+    std_i = (1.0 - w) * safe_std[i] + w * safe_std[i + 1]
+    mean_d = cfg.scale * mean_i + cfg.offset
+    err_d = cfg.smooth * cfg.scale * std_i
+    err_d = jnp.sqrt(err_d ** 2 + cfg.scatter ** 2)
+    chi2 = (avs - mean_d) ** 2 / err_d ** 2
+    lnorm = jnp.log(2.0 * jnp.pi * err_d ** 2)
+    return jnp.where(covered, -0.5 * (chi2 + lnorm), jnp.zeros_like(avs))
+
+
+def dust_lnprior_interp(dists, avs, av_dist, av_mean, av_std,
+                        cfg: DustPriorConfig = DustPriorConfig()):
+    """Exact-`np.interp` variant for non-uniform distance ladders
+    (slow on TPU; used for oracle parity and host-side work)."""
     covered = jnp.all(jnp.isfinite(av_mean) & jnp.isfinite(av_std))
     safe_mean = jnp.where(jnp.isfinite(av_mean), av_mean, 0.0)
     safe_std = jnp.where(jnp.isfinite(av_std), av_std, 1.0)
@@ -302,5 +333,5 @@ __all__ = [
     "imf_lnprior", "ps1_MrLF_lnprior",
     "parallax_lnprior", "parallax_to_scale", "scale_parallax_lnprior",
     "logn_disk", "logn_halo", "logp_feh", "logp_age_from_feh",
-    "gal_lnprior", "dust_lnprior",
+    "gal_lnprior", "dust_lnprior", "dust_lnprior_interp",
 ]

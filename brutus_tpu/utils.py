@@ -133,6 +133,45 @@ def inverse3(A):
     return jnp.swapaxes(inverse_transpose3(A), -1, -2)
 
 
+def cholesky3(A):
+    """Closed-form Cholesky factor of stacked SPD 3x3 matrices.
+
+    `jnp.linalg.cholesky` lowers poorly on TPU for huge batches of tiny
+    matrices; the explicit scalar recurrence is a handful of fused
+    elementwise ops.  Returns lower-triangular `L` with NaNs where the
+    input is not positive definite.
+    """
+    a11, a21, a31 = A[..., 0, 0], A[..., 1, 0], A[..., 2, 0]
+    a22, a32, a33 = A[..., 1, 1], A[..., 2, 1], A[..., 2, 2]
+    l11 = jnp.sqrt(a11)
+    l21 = a21 / l11
+    l31 = a31 / l11
+    l22 = jnp.sqrt(a22 - l21 * l21)
+    l32 = (a32 - l31 * l21) / l22
+    l33 = jnp.sqrt(a33 - l31 * l31 - l32 * l32)
+    z = jnp.zeros_like(l11)
+    return jnp.stack([
+        jnp.stack([l11, z, z], axis=-1),
+        jnp.stack([l21, l22, z], axis=-1),
+        jnp.stack([l31, l32, l33], axis=-1),
+    ], axis=-2)
+
+
+def mvn3_transform(mean, L, z):
+    """`mean + L @ z` for stacked 3x3 lower triangles, written as
+    elementwise ops (no tiny batched matmuls).
+
+    mean : (..., 3); L : (..., 3, 3); z : (..., 3, S) -> (..., 3, S).
+    """
+    z0, z1, z2 = z[..., 0, :], z[..., 1, :], z[..., 2, :]
+    s0 = mean[..., 0, None] + L[..., 0, 0, None] * z0
+    s1 = (mean[..., 1, None] + L[..., 1, 0, None] * z0
+          + L[..., 1, 1, None] * z1)
+    s2 = (mean[..., 2, None] + L[..., 2, 0, None] * z0
+          + L[..., 2, 1, None] * z1 + L[..., 2, 2, None] * z2)
+    return jnp.stack([s0, s1, s2], axis=-2)
+
+
 def is_psd3(A, eps=0.0):
     """Boolean mask of which stacked 3x3 symmetric matrices are PD.
 
@@ -140,9 +179,12 @@ def is_psd3(A, eps=0.0):
     here we use the leading-principal-minor (Sylvester) criterion, which
     is branch-free and exact for 3x3.
     """
-    m1 = A[..., 0, 0]
-    m2 = A[..., 0, 0] * A[..., 1, 1] - A[..., 0, 1] * A[..., 1, 0]
-    m3 = jnp.linalg.det(A)
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    m1 = a
+    m2 = a * e - b * d
+    m3 = a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
     return (m1 > eps) & (m2 > eps) & (m3 > eps)
 
 
@@ -239,9 +281,12 @@ def sample_multivariate_normal(key, mean, cov, size=1, eps=1e-30):
     """
     N, d = mean.shape
     K = cov + eps * jnp.eye(d, dtype=cov.dtype)
-    L = jnp.linalg.cholesky(K)
     z = jax.random.normal(key, (N, d, size), dtype=mean.dtype)
-    ans = mean[:, :, None] + jnp.matmul(L, z)      # (N, d, size)
+    if d == 3:
+        ans = mvn3_transform(mean, cholesky3(K), z)
+    else:
+        L = jnp.linalg.cholesky(K)
+        ans = mean[:, :, None] + jnp.matmul(L, z)  # (N, d, size)
     return jnp.moveaxis(ans, 0, -1)                # (d, size, N)
 
 
