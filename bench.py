@@ -60,9 +60,12 @@ def main():
     ap.add_argument("--tile", type=int, default=2048)
     ap.add_argument("--loglike-only", action="store_true",
                     help="benchmark the likelihood stage alone")
-    ap.add_argument("--direct-init", action="store_true",
+    ap.add_argument("--direct-init", dest="direct_init",
+                    action="store_true", default=True,
                     help="seed the mag phase with the direct 3x3 solve")
-    ap.add_argument("--prefilter", type=int, default=16384)
+    ap.add_argument("--no-direct-init", dest="direct_init",
+                    action="store_false")
+    ap.add_argument("--prefilter", type=int, default=8192)
     args = ap.parse_args()
 
     if args.smoke:
