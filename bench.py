@@ -91,10 +91,23 @@ def main():
                                n_sel_max=min(args.nsel, M),
                                prefilter_k=args.prefilter)
 
-    mc_d = jnp.asarray(mc)
-    feh_d = jnp.asarray(feh, mc_d.dtype)
-    loga_d = jnp.asarray(loga, mc_d.dtype)
-    lnprior = jnp.zeros(M, mc_d.dtype)
+    n_dev = len(jax.devices())
+    if n_dev > 1 and args.engine == "xla":
+        # Multi-chip: shard the model grid over all devices; per-star
+        # reductions become ICI collectives under GSPMD.
+        from brutus_tpu.parallel import make_mesh, shard_grid
+        mesh = make_mesh(n_data=1, n_model=n_dev)
+        mc_d, (lnprior, feh_d, loga_d), n_real_m = shard_grid(
+            mesh, mc, np.zeros(M, np.float32),
+            feh.astype(np.float32), loga.astype(np.float32))
+        if n_real_m < mc_d.shape[0]:
+            lnprior = lnprior.at[n_real_m:].set(-1e30)
+        print(f"# sharded grid over {n_dev} devices", file=sys.stderr)
+    else:
+        mc_d = jnp.asarray(mc)
+        feh_d = jnp.asarray(feh, mc_d.dtype)
+        loga_d = jnp.asarray(loga, mc_d.dtype)
+        lnprior = jnp.zeros(M, mc_d.dtype)
 
     if args.engine == "fused":
         from brutus_tpu.ops.pallas_loglike import (loglike_grid_fused,
