@@ -58,9 +58,17 @@ def default_grid_lnprior(models_labels, labels_mask=None,
             lnprior = lnprior + np.log(np.abs(models_labels["agewt"]))
 
     if apply_grad:
+        # The spacing reweighting applies only to grid *input* labels
+        # (reference fitting.py:1351-1359 gates on `labels_mask`); when
+        # no mask is available, fall back to the canonical input set so
+        # derived parameters (logt, Mr, agewt, ...) are never counted.
+        grid_inputs = {"mini", "eep", "feh", "afe", "smf", "Mr"}
         for name in names:
-            if labels_mask is not None and name in labels_mask.dtype.names \
-                    and not labels_mask[name][0]:
+            if labels_mask is not None:
+                if name not in labels_mask.dtype.names \
+                        or not labels_mask[name][0]:
+                    continue
+            elif name not in grid_inputs:
                 continue
             vals = models_labels[name]
             uvals = np.unique(vals)
@@ -325,13 +333,18 @@ class BruteForce:
                 raise ValueError("batch_size must be divisible by the "
                                  "mesh 'data' axis size")
             (device_models, (lnprior_dev, feh_dev, loga_dev),
-             n_real) = shard_grid(mesh, self.models.astype(self.models.dtype),
+             n_real) = shard_grid(mesh, self.models,
                                   lnprior.astype(self.models.dtype),
                                   feh_arr, loga_arr)
-            if n_real < device_models.shape[0]:
+            pad_m = device_models.shape[0] - n_real
+            if pad_m:
                 # Padded models fit as well as real ones (the flux scale
                 # absorbs magnitude offsets); kill them via the grid prior.
                 lnprior_dev = lnprior_dev.at[n_real:].set(-1e30)
+                if ext_lnl is not None:
+                    ext_lnl = np.concatenate(
+                        [ext_lnl, np.zeros((n_data, pad_m),
+                                           ext_lnl.dtype)], axis=1)
             batch_shard = data_sharding(mesh)
         else:
             device_models = jnp.asarray(self.models)

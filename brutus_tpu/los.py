@@ -159,9 +159,6 @@ def LOS_clouds_loglike_samples(theta, dsamps, rsamps, kernel="gauss",
         sig = np.concatenate([[s0 * area],
                               np.full(len(reds) - 1, s * area)])
         means = np.array(reds, dtype=float)
-        if template_reds is not None:
-            means = np.concatenate(
-                [means[:1], means[1:]]).astype(float)
         rs_np, ds_np = np.asarray(rs), np.asarray(ds)
         logw = []
         for c in range(len(reds)):

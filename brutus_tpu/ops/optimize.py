@@ -41,6 +41,35 @@ def _masked_max(x, mask, initial=-jnp.inf):
     return jnp.max(jnp.where(mask, x, initial))
 
 
+def prepare_star_data(flux, fluxerr, mask, cfg: FitConfig):
+    """Data hygiene + magnitude conversion shared by both engines.
+
+    Parity: reference `brutus/fitting.py:706-725`.  Shape-polymorphic
+    over leading batch dims (band axis last).  Bands that are masked or
+    unclean get zero weight; negative-flux bands keep their flux-space
+    weight but get ~zero magnitude-space weight (the reference's 1e50
+    variance flag).
+
+    Returns `(flux, wt_flux, mags, wt_mag, mask, ndim, tot_var)`.
+    """
+    clean = jnp.isfinite(flux) & jnp.isfinite(fluxerr) & (fluxerr > 0.0)
+    mask = (mask > 0) & clean
+    flux = jnp.where(mask, flux, 0.0)
+    fluxerr = jnp.where(mask, fluxerr, 1.0)
+    ndim = jnp.sum(mask, axis=-1)
+    tot_var = jnp.square(fluxerr)
+    wt_flux = jnp.where(mask, 1.0 / tot_var, 0.0)
+    pos = mask & (flux > 0.0)
+    safe_flux = jnp.where(pos, flux, 1.0)
+    mags = jnp.where(pos, -2.5 * jnp.log10(safe_flux), 0.0)
+    mags_var = ((2.5 / jnp.log(10.0)) ** 2 * tot_var
+                / jnp.square(safe_flux))
+    wt_mag = jnp.where(mask,
+                       jnp.where(pos, 1.0 / mags_var, 1.0 / cfg.big_var),
+                       0.0)
+    return flux, wt_flux, mags, wt_mag, mask, ndim, tot_var
+
+
 # ---------------------------------------------------------------------------
 # Phase A: magnitude-space alternating (Av, Rv) solves
 # (parity: reference brutus/fitting.py:34-271)
@@ -293,25 +322,9 @@ def loglike_grid(flux, fluxerr, mask, mag_coeffs,
     fluxerr = fluxerr.astype(dtype)
     M = mag_coeffs.shape[0]
 
-    # --- data hygiene (fitting.py:706-716) ---
-    clean = jnp.isfinite(flux) & jnp.isfinite(fluxerr) & (fluxerr > 0.0)
-    mask = (mask > 0) & clean
-    flux = jnp.where(mask, flux, 0.0)
-    fluxerr = jnp.where(mask, fluxerr, 1.0)
-    ndim = jnp.sum(mask)
-    tot_var = jnp.square(fluxerr)
-    wt_flux = jnp.where(mask, 1.0 / tot_var, 0.0)
-
-    # --- magnitude conversion (fitting.py:718-725); non-positive fluxes
-    # keep their band in flux space but get ~zero weight in mag space ---
-    pos = mask & (flux > 0.0)
-    safe_flux = jnp.where(pos, flux, 1.0)
-    mags = jnp.where(pos, -2.5 * jnp.log10(safe_flux), 0.0)
-    mags_var = ((2.5 / jnp.log(10.0)) ** 2 * tot_var
-                / jnp.square(safe_flux))
-    wt_mag = jnp.where(mask,
-                       jnp.where(pos, 1.0 / mags_var, 1.0 / cfg.big_var),
-                       0.0)
+    # --- data hygiene + magnitude conversion (fitting.py:706-725) ---
+    (flux, wt_flux, mags, wt_mag, mask, ndim,
+     tot_var) = prepare_star_data(flux, fluxerr, mask, cfg)
 
     # --- phase A: magnitude fit (fitting.py:727-741) ---
     av0 = jnp.full((M,), cfg.av0, dtype)

@@ -239,24 +239,9 @@ def prepare_coeffs(mag_coeffs, tile=2048):
     return jnp.asarray(np.ascontiguousarray(mc.transpose(2, 1, 0))), M
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _prep(flux, fluxerr, mask, cfg: FitConfig):
-    """Data hygiene (mirrors ops.optimize.loglike_grid)."""
-    clean = jnp.isfinite(flux) & jnp.isfinite(fluxerr) & (fluxerr > 0)
-    mask = (mask > 0) & clean
-    flux = jnp.where(mask, flux, 0.0)
-    fluxerr = jnp.where(mask, fluxerr, 1.0)
-    ndim = jnp.sum(mask, axis=1)
-    tot_var = jnp.square(fluxerr)
-    wt_flux = jnp.where(mask, 1.0 / tot_var, 0.0)
-    pos = mask & (flux > 0)
-    safe_flux = jnp.where(pos, flux, 1.0)
-    mags = jnp.where(pos, -2.5 * jnp.log10(safe_flux), 0.0)
-    mags_var = (2.5 / LN10) ** 2 * tot_var / jnp.square(safe_flux)
-    wt_mag = jnp.where(mask,
-                       jnp.where(pos, 1.0 / mags_var, 1.0 / cfg.big_var),
-                       0.0)
-    return flux, wt_flux, mags, wt_mag, mask, ndim, tot_var
+from .optimize import prepare_star_data
+
+_prep = partial(jax.jit, static_argnames=("cfg",))(prepare_star_data)
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_real"))

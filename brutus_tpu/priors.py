@@ -53,7 +53,7 @@ def imf_lnprior(mgrid, alpha_low=1.3, alpha_high=2.3, mass_break=0.5,
     norm = norm_low + norm_high
     if mgrid2 is not None:
         lnprior = lnprior + single(mgrid2)
-        norm = norm_low ** 2 + norm_high ** 2 + 2 * norm_low * norm_high
+        norm = norm ** 2           # independent primary x secondary
     return lnprior - math.log(norm)
 
 

@@ -80,3 +80,20 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert out.shape == (8, 4096)
     mod.dryrun_multichip(8)
+
+
+def test_sharded_ext_prior_with_padding(problem):
+    """lnprior_ext must be padded along with the sharded model grid."""
+    data, errs, mask, coords = problem
+    mc = MC[:250]           # 250 % 4 != 0 -> shard padding
+    labels = LABELS[:250]
+    import jax
+    mesh = make_mesh(n_data=1, n_model=4, devices=jax.devices()[:4])
+    bf = BruteForce(mc, labels, LMASK)
+    ext = {"feh": np.tile([[-0.5, 0.3]], (len(data), 1))}
+    out = bf.fit(data, errs, mask, data_coords=coords,
+                 lnprior_ext=ext, Nmc_prior=8, Ndraws=16, batch_size=4,
+                 n_sel_max=32, verbose=False, return_results=True,
+                 mesh=mesh)
+    assert np.isfinite(out["log_evidence"]).all()
+    assert (out["model_idx"] < 250).all()
