@@ -56,7 +56,17 @@ class FitConfig:
     av_init: float = None              # default: av_gauss[0]
     rv_init: float = None              # default: rv_gauss[0]
 
-    # TPU acceleration: seed the alternating magnitude-phase solves with
+    # Restrict the flux-space polish loop to the top `polish_k` models
+    # by post-magnitude-phase likelihood (gathered to a fixed-size
+    # block, scattered back), mirroring the reference's init-threshold
+    # cull (fitting.py:743-768).  Disabled by default: on TPU the
+    # gather/scatter of the coefficient block costs more than the dense
+    # flux loop saves (measured 60 vs 86 stars/s on a 750k grid), but
+    # the option wins on gather-friendly backends and small-memory
+    # settings.  0 = dense polish.
+    polish_k: int = 0
+
+    # Seed the alternating magnitude-phase solves with
     # one direct 3x3 weighted least-squares solve of
     # (mu-offset, Av, Av*Rv) per model (a batched closed-form 3x3
     # inverse), which cuts the iteration count several-fold.  The

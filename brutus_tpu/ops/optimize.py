@@ -216,7 +216,8 @@ def sed_mle(flux, wt_flux, mag_coeffs, av, rv, cfg: FitConfig):
     Returns
     -------
     models, rvecs, drvecs : (M, F) scaled flux-space quantities.
-    scale : (M,); icov_sar : (M, 3, 3); resid : (M, F).
+    scale : (M,); icov_parts : 6-tuple of (M,) components
+    `(s_den, a_den, r_den, sa, sr, ar)`; resid : (M, F).
     """
     m, rvec, drvec = get_seds_flux(mag_coeffs, av, rv)   # unscaled
 
@@ -244,13 +245,12 @@ def sed_mle(flux, wt_flux, mag_coeffs, av, rv, cfg: FitConfig):
     r_den = ((drvec_s * drvec_s) @ wt_flux
              + 1.0 / cfg.rv_gauss[1] ** 2 + 1.0 / cfg.rv_reg ** 2)
 
-    icov_sar = jnp.stack([
-        jnp.stack([s_den, sa_mix, sr_mix], axis=-1),
-        jnp.stack([sa_mix, a_den, ar_mix], axis=-1),
-        jnp.stack([sr_mix, ar_mix, r_den], axis=-1),
-    ], axis=-2)                                          # (M, 3, 3)
-
-    return ms, rvec_s, drvec_s, scale, icov_sar, resid
+    # The 3x3 precisions travel as their 6 unique components; a dense
+    # (M, 3, 3) tensor costs 9x the memory traffic of the parts and the
+    # posterior stage only assembles the top-k rows
+    # (`ops.pallas_loglike.icov_from_parts`).
+    icov_parts = (s_den, a_den, r_den, sa_mix, sr_mix, ar_mix)
+    return ms, rvec_s, drvec_s, scale, icov_parts, resid
 
 
 # ---------------------------------------------------------------------------
@@ -284,6 +284,50 @@ def optimize_flux_step(wt_flux, models, rvecs, drvecs, resid, av, rv,
     return av, rv
 
 
+def _flux_polish(flux, wt_flux, mcoeffs, init_arrays, keep, cfg: FitConfig):
+    """Damped flux-space iteration to convergence on a model block.
+
+    Parity: the `while lerr > ltol` loop of reference
+    `brutus/fitting.py:777-803`; convergence is judged on the subset of
+    `keep` models within `ltol_subthresh` of the block's best fit.
+
+    Returns `(chi2, scale, av, rv, icov_sar)` for the block.
+    """
+    models, rvecs, drvecs, scale, av, rv, icov, resid = init_arrays
+    K = av.shape[0]
+    dtype = av.dtype
+    ln_subthresh = math.log(cfg.ltol_subthresh)
+
+    def body(state):
+        (models, rvecs, drvecs, scale, av, rv, icov, resid,
+         lnl_old, stepsize, _, it) = state
+        av, rv = optimize_flux_step(wt_flux, models, rvecs, drvecs, resid,
+                                    av, rv, stepsize, cfg)
+        (models, rvecs, drvecs, scale, icov,
+         resid) = sed_mle(flux, wt_flux, mcoeffs, av, rv, cfg)
+        chi2 = (resid * resid) @ wt_flux
+        lnl_new = -0.5 * chi2
+        sel = keep & (lnl_new > _masked_max(lnl_new, keep) + ln_subthresh)
+        lerr = _masked_max(jnp.abs(lnl_new - lnl_old), sel)
+        stepsize = jnp.where(lnl_new < lnl_old,
+                             stepsize / cfg.stepsize_rescale, stepsize)
+        return (models, rvecs, drvecs, scale, av, rv, icov, resid,
+                lnl_new, stepsize, lerr, it + 1)
+
+    def cond(state):
+        *_, lerr, it = state
+        return (lerr > cfg.ltol) & (it < cfg.max_iter_flux)
+
+    init = (models, rvecs, drvecs, scale, av, rv, icov, resid,
+            jnp.full((K,), NEG_BIG, dtype), jnp.ones((K,), dtype),
+            jnp.asarray(jnp.inf, dtype), jnp.asarray(0, jnp.int32))
+    (*_, scale_f, av_f, rv_f, icov_f, _resid,
+     lnl_f, _ss, _lerr, _it) = lax.while_loop(cond, body, init)
+    # state order: models, rvecs, drvecs, scale, av, rv, icov, resid,
+    #              lnl, stepsize, lerr, it
+    return -2.0 * lnl_f, scale_f, av_f, rv_f, icov_f
+
+
 # ---------------------------------------------------------------------------
 # Full per-star grid log-likelihood
 # (parity: reference brutus/fitting.py:579-820 `loglike`)
@@ -314,8 +358,12 @@ def loglike_grid(flux, fluxerr, mask, mag_coeffs,
 
     Returns
     -------
-    dict with `lnlike, ndim, chi2, scale, av, rv, icov_sar` of shapes
-    `(M,) / scalar / (M,) / (M,) / (M,) / (M,) / (M, 3, 3)`.
+    dict with `lnlike, ndim, chi2, scale, av, rv` of shapes
+    `(M,) / scalar / (M,) / (M,) / (M,) / (M,)` plus `icov_parts`, the
+    6 unique components `(s_den, a_den, r_den, sa, sr, ar)` of the
+    `(s, Av, Rv)` precision matrices (assemble with
+    `ops.pallas_loglike.icov_from_parts` when the full (M, 3, 3)
+    tensor is needed).
     """
     dtype = mag_coeffs.dtype
     flux = flux.astype(dtype)
@@ -330,7 +378,7 @@ def loglike_grid(flux, fluxerr, mask, mag_coeffs,
     av0 = jnp.full((M,), cfg.av0, dtype)
     rv0 = jnp.full((M,), cfg.rv0, dtype)
     av, rv = optimize_mag(mags, wt_mag, mag_coeffs, av0, rv0, cfg)
-    (models, rvecs, drvecs, scale, icov_sar,
+    (models, rvecs, drvecs, scale, icov_parts,
      resid) = sed_mle(flux, wt_flux, mag_coeffs, av, rv, cfg)
 
     chi2_mag = (resid * resid) @ wt_flux
@@ -347,58 +395,55 @@ def loglike_grid(flux, fluxerr, mask, mag_coeffs,
         lnl_p = lnl_mag - 0.5 * chi2_p
         keep = lnl_p > jnp.max(lnl_p) + math.log(cfg.init_thresh)
     else:
+        lnl_p = lnl_mag
         keep = jnp.ones((M,), bool)
 
     # --- phase B: damped flux iteration (fitting.py:777-803) ---
-    ln_subthresh = math.log(cfg.ltol_subthresh)
-
-    def body(state):
-        (models, rvecs, drvecs, scale, av, rv, icov, resid,
-         lnl_old, stepsize, _, it) = state
-        av, rv = optimize_flux_step(wt_flux, models, rvecs, drvecs, resid,
-                                    av, rv, stepsize, cfg)
-        (models, rvecs, drvecs, scale, icov,
-         resid) = sed_mle(flux, wt_flux, mag_coeffs, av, rv, cfg)
-        chi2 = (resid * resid) @ wt_flux
-        lnl_new = -0.5 * chi2
-        sel = keep & (lnl_new > _masked_max(lnl_new, keep) + ln_subthresh)
-        lerr = _masked_max(jnp.abs(lnl_new - lnl_old), sel)
-        stepsize = jnp.where(lnl_new < lnl_old,
-                             stepsize / cfg.stepsize_rescale, stepsize)
-        return (models, rvecs, drvecs, scale, av, rv, icov, resid,
-                lnl_new, stepsize, lerr, it + 1)
-
-    def cond(state):
-        *_, lerr, it = state
-        return (lerr > cfg.ltol) & (it < cfg.max_iter_flux)
-
-    init = (models, rvecs, drvecs, scale, av, rv, icov_sar, resid,
-            jnp.full((M,), NEG_BIG, dtype), jnp.ones((M,), dtype),
-            jnp.asarray(jnp.inf, dtype), jnp.asarray(0, jnp.int32))
-    (models, rvecs, drvecs, scale_f, av_f, rv_f, icov_f, resid,
-     lnl_f, *_ ) = lax.while_loop(cond, body, init)
-
-    chi2_f = -2.0 * lnl_f
-    # Gaussian normalization constant (fitting.py:806-807).
-    safe_var = jnp.where(mask, tot_var, 1.0)
-    lnl_f = lnl_f - 0.5 * (ndim * LN2PI +
-                           jnp.sum(jnp.log(safe_var) * mask))
-
-    # --- merge: culled models report their phase-A results
-    # (fitting.py:805-810) ---
-    lnl = jnp.where(keep, lnl_f, lnl_mag)
-    chi2 = jnp.where(keep, chi2_f, chi2_mag)
-    scale = jnp.where(keep, scale_f, scale)
-    av = jnp.where(keep, av_f, av)
-    rv = jnp.where(keep, rv_f, rv)
-    icov_sar = jnp.where(keep[:, None, None], icov_f, icov_sar)
+    # Restrict the polish to the top `polish_k` models by phase-A
+    # likelihood (the reference's init cull flux-polishes only the
+    # surviving models; everything outside keeps phase-A results).
+    const = -0.5 * (ndim * LN2PI +
+                    jnp.sum(jnp.log(jnp.where(mask, tot_var, 1.0)) * mask))
+    if cfg.polish_k and cfg.polish_k < M:
+        _, sel_idx = lax.approx_max_k(
+            lnl_p if cfg.apply_init_cull else lnl_mag, cfg.polish_k,
+            recall_target=0.95)
+        g = lambda x: x[sel_idx]
+        (chi2_f, scale_f, av_f, rv_f, icov_f) = _flux_polish(
+            flux, wt_flux, mag_coeffs[sel_idx],
+            (g(models), g(rvecs), g(drvecs), g(scale), g(av), g(rv),
+             tuple(g(p_) for p_ in icov_parts), g(resid)), g(keep), cfg)
+        keep_k = g(keep)
+        put = lambda full, new, old_k: full.at[sel_idx].set(
+            jnp.where(keep_k, new, old_k))
+        lnl = put(lnl_mag, -0.5 * chi2_f + const, g(lnl_mag))
+        chi2 = put(chi2_mag, chi2_f, g(chi2_mag))
+        scale = put(scale, scale_f, g(scale))
+        av = put(av, av_f, g(av))
+        rv = put(rv, rv_f, g(rv))
+        icov_parts = tuple(put(full, new, g(full)) for full, new
+                           in zip(icov_parts, icov_f))
+    else:
+        (chi2_f, scale_f, av_f, rv_f, icov_f) = _flux_polish(
+            flux, wt_flux, mag_coeffs,
+            (models, rvecs, drvecs, scale, av, rv, icov_parts, resid),
+            keep, cfg)
+        # Merge: culled models report their phase-A results
+        # (fitting.py:805-810).
+        lnl = jnp.where(keep, -0.5 * chi2_f + const, lnl_mag)
+        chi2 = jnp.where(keep, chi2_f, chi2_mag)
+        scale = jnp.where(keep, scale_f, scale)
+        av = jnp.where(keep, av_f, av)
+        rv = jnp.where(keep, rv_f, rv)
+        icov_parts = tuple(jnp.where(keep, new, full) for full, new
+                           in zip(icov_parts, icov_f))
 
     # --- dimensionality prior (fitting.py:812-815) ---
     if cfg.dim_prior:
         lnl = chi2_logpdf(chi2, ndim - 3)
 
     return dict(lnlike=lnl, ndim=ndim, chi2=chi2, scale=scale,
-                av=av, rv=rv, icov_sar=icov_sar)
+                av=av, rv=rv, icov_parts=icov_parts)
 
 
 __all__ = ["optimize_mag", "optimize_flux_step", "sed_mle", "loglike_grid"]

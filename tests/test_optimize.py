@@ -37,8 +37,10 @@ def test_sed_mle_matches_oracle():
 
     o = oracle_sed_mle(flux, tot_var, mc, av, rv)
     wt = 1.0 / err ** 2
-    g = sed_mle(jnp.asarray(flux), jnp.asarray(wt), jnp.asarray(mc),
-                jnp.asarray(av), jnp.asarray(rv), FitConfig())
+    g = list(sed_mle(jnp.asarray(flux), jnp.asarray(wt), jnp.asarray(mc),
+                     jnp.asarray(av), jnp.asarray(rv), FitConfig()))
+    from brutus_tpu.ops.pallas_loglike import icov_from_parts
+    g[4] = icov_from_parts(g[4])
     names = ["models", "rvecs", "drvecs", "scale", "icov", "resid"]
     for name, oa, ga in zip(names, o, g):
         np.testing.assert_allclose(np.asarray(ga), oa, rtol=5e-9, atol=1e-20,
@@ -98,8 +100,9 @@ def _compare_loglike(cfg, parallax=np.nan, parallax_err=np.nan,
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(out["rv"]), o_rv,
                                rtol=1e-6, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(out["icov_sar"]), o_icov,
-                               rtol=1e-5, atol=1e-6)
+    from brutus_tpu.ops.pallas_loglike import icov_from_parts
+    np.testing.assert_allclose(np.asarray(icov_from_parts(
+        out["icov_parts"])), o_icov, rtol=1e-5, atol=1e-6)
 
 
 def test_loglike_no_cull_exact_parity():
@@ -168,3 +171,24 @@ def test_direct_mag_init_converges_same():
     np.testing.assert_allclose(lb[sel] - lb[sel].max(),
                                la[sel] - la[sel].max(), atol=0.1)
     assert la.argmax() == lb.argmax()
+
+
+def test_polish_topk_matches_dense():
+    """Restricting the flux polish to the top-k models reproduces the
+    dense path wherever the init cull keeps models."""
+    nmodel, nfilt = 96, 8
+    mc = make_synthetic_grid(rng, nmodel, nfilt)
+    flux, err, mask = make_synthetic_star(rng, mc, av=0.6, rv=3.1, idx=30)
+    dense = loglike_grid(jnp.asarray(flux), jnp.asarray(err),
+                         jnp.asarray(mask), jnp.asarray(mc),
+                         cfg=FitConfig(dim_prior=False, polish_k=0))
+    topk = loglike_grid(jnp.asarray(flux), jnp.asarray(err),
+                        jnp.asarray(mask), jnp.asarray(mc),
+                        cfg=FitConfig(dim_prior=False, polish_k=48))
+    ld, lt = np.asarray(dense["lnlike"]), np.asarray(topk["lnlike"])
+    # Models surviving the init cull are polished identically.
+    keep = ld > ld.max() - 5.0
+    np.testing.assert_allclose(lt[keep], ld[keep], rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(topk["av"])[keep],
+                               np.asarray(dense["av"])[keep], rtol=1e-9)
+    assert ld.argmax() == lt.argmax()

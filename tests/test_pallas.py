@@ -68,8 +68,8 @@ def test_fused_matches_xla_path():
                                rtol=5e-3)
     from brutus_tpu.ops.pallas_loglike import icov_from_parts
     fused_icov = np.asarray(icov_from_parts(fused["icov_parts"]))
-    np.testing.assert_allclose(fused_icov[rows, w],
-                               np.asarray(ref["icov_sar"])[rows, w],
+    ref_icov = np.asarray(icov_from_parts(ref["icov_parts"]))
+    np.testing.assert_allclose(fused_icov[rows, w], ref_icov[rows, w],
                                rtol=5e-2, atol=1e-2)
     # Padded models are explicitly excluded.
     assert np.asarray(fused["lnlike"])[:, n_real:].max() < -1e29
