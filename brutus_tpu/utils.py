@@ -360,8 +360,13 @@ def phot_loglike(data, data_err, data_mask, models, dim_prior=True):
     return lnl
 
 
+# API parity: the reference exposes `get_seds` from utils
+# (brutus/utils.py:1089); the implementation lives in ops.sed.
+from .ops.sed import get_seds  # noqa: E402
+
 __all__ = [
     "magnitude", "inv_magnitude", "luptitude", "inv_luptitude", "add_mag",
+    "get_seds",
     "adjoint3", "inverse3", "inverse_transpose3", "is_psd3",
     "chi2_logpdf", "truncnorm_pdf", "truncnorm_logpdf",
     "quantile", "sample_multivariate_normal", "draw_sar", "phot_loglike",

@@ -196,3 +196,33 @@ def test_bin_pdfs_distred_regenerated():
     assert np.isfinite(pdfs).all()
     assert (pdfs >= 0).all()
     assert pdfs.sum() > 0
+
+
+def test_los_template_and_additive_modes():
+    """Template rescaling and additive-foreground variants evaluate and
+    respond to their parameters (reference los.py:218-224)."""
+    n_obj, n_samp = 40, 25
+    ds = rng.uniform(4, 19, (n_obj, n_samp))
+    template = rng.uniform(0.5, 2.0, n_obj)
+    # True reddening = 1.2 * template beyond dm=9.
+    rs = (0.2 + 1.2 * template[:, None] * (ds > 9.0)
+          + rng.normal(0, 0.05, (n_obj, n_samp)))
+    theta_good = np.array([0.02, 0.02, 0.02, 0.2, 9.0, 1.2])
+    theta_bad = np.array([0.02, 0.02, 0.02, 0.2, 9.0, 0.5])
+    ll_good = los.LOS_clouds_loglike_samples(theta_good, ds, rs,
+                                             template_reds=template)
+    ll_bad = los.LOS_clouds_loglike_samples(theta_bad, ds, rs,
+                                            template_reds=template)
+    assert np.isfinite(ll_good) and ll_good > ll_bad
+
+    # Additive foreground: cloud reddening stacks on the foreground.
+    rs2 = 0.4 + 1.0 * (ds > 10.0) + rng.normal(0, 0.05, (n_obj, n_samp))
+    th_add = np.array([0.02, 0.02, 0.02, 0.4, 10.0, 0.6])
+    ll_add = los.LOS_clouds_loglike_samples(th_add, ds, rs2,
+                                            additive_foreground=True)
+    th_noadd = np.array([0.02, 0.02, 0.02, 0.4, 10.0, 0.6])
+    ll_noadd = los.LOS_clouds_loglike_samples(th_noadd, ds, rs2,
+                                              additive_foreground=False)
+    # With additive foreground 0.4 + 0.6 = 1.0 -> matches the data;
+    # without it the cloud sits at 0.6 and fits worse.
+    assert ll_add > ll_noadd
