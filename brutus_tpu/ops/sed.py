@@ -13,9 +13,13 @@ kernel) — here a fused elementwise XLA program batched over arbitrary
 leading dimensions instead of a per-model Python loop.
 """
 
+import math
+
 import jax.numpy as jnp
 
-FLUX_FAC = -0.4 * jnp.log(10.0)
+# Plain-python constant: importing this module must never touch a device
+# backend (the multi-chip dryrun configures a CPU mesh *after* import).
+FLUX_FAC = -0.4 * math.log(10.0)
 
 
 def get_seds_mag(mag_coeffs, av, rv):
