@@ -50,16 +50,20 @@ def main():
                     help="tiny CPU-friendly smoke run")
     ap.add_argument("--models", type=int, default=750_000)
     ap.add_argument("--filters", type=int, default=8)
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--nmc", type=int, default=50)
     ap.add_argument("--ndraws", type=int, default=250)
     ap.add_argument("--nsel", type=int, default=4096)
-    ap.add_argument("--engine", choices=["xla", "fused"], default="xla",
-                    help="likelihood engine: plain XLA or fused Pallas")
-    ap.add_argument("--tile", type=int, default=2048)
+    ap.add_argument("--engine", choices=["xla", "fused"], default="fused",
+                    help="likelihood engine: fused Pallas or plain XLA")
+    ap.add_argument("--tile", type=int, default=1024)
     ap.add_argument("--loglike-only", action="store_true",
                     help="benchmark the likelihood stage alone")
+    ap.add_argument("--verify", action="store_true",
+                    help="run BOTH engines on hardware and report their "
+                         "agreement (winner hit rate, max lnl delta) in "
+                         "the JSON line")
     ap.add_argument("--direct-init", dest="direct_init",
                     action="store_true", default=True,
                     help="seed the mag phase with the direct 3x3 solve")
@@ -92,32 +96,52 @@ def main():
                                prefilter_k=args.prefilter)
 
     n_dev = len(jax.devices())
-    if n_dev > 1 and args.engine == "xla":
-        # Multi-chip: shard the model grid over all devices; per-star
-        # reductions become ICI collectives under GSPMD.
-        from brutus_tpu.parallel import make_mesh, shard_grid
-        mesh = make_mesh(n_data=1, n_model=n_dev)
-        mc_d, (lnprior, feh_d, loga_d), n_real_m = shard_grid(
-            mesh, mc, np.zeros(M, np.float32),
-            feh.astype(np.float32), loga.astype(np.float32))
-        if n_real_m < mc_d.shape[0]:
-            lnprior = lnprior.at[n_real_m:].set(-1e30)
-        print(f"# sharded grid over {n_dev} devices", file=sys.stderr)
-    else:
-        mc_d = jnp.asarray(mc)
-        feh_d = jnp.asarray(feh, mc_d.dtype)
-        loga_d = jnp.asarray(loga, mc_d.dtype)
-        lnprior = jnp.zeros(M, mc_d.dtype)
 
-    if args.engine == "fused":
+    def make_step(engine):
+        if engine == "xla":
+            if n_dev > 1:
+                # Multi-chip: shard the model grid over all devices;
+                # per-star reductions become ICI collectives under GSPMD.
+                from brutus_tpu.parallel import make_mesh, shard_grid
+                mesh = make_mesh(n_data=1, n_model=n_dev)
+                mc_d, (lnprior, feh_d, loga_d), n_real_m = shard_grid(
+                    mesh, mc, np.zeros(M, np.float32),
+                    feh.astype(np.float32), loga.astype(np.float32))
+                if n_real_m < mc_d.shape[0]:
+                    lnprior = lnprior.at[n_real_m:].set(-1e30)
+                print(f"# sharded grid over {n_dev} devices",
+                      file=sys.stderr)
+            else:
+                mc_d = jnp.asarray(mc)
+                feh_d = jnp.asarray(feh, mc_d.dtype)
+                loga_d = jnp.asarray(loga, mc_d.dtype)
+                lnprior = jnp.zeros(M, mc_d.dtype)
+
+            def star_step(key, f, e, plx, plx_err):
+                res = loglike_grid(f, e, jnp.ones_like(f, bool), mc_d,
+                                   parallax=plx, parallax_err=plx_err,
+                                   cfg=fit_cfg)
+                if args.loglike_only:
+                    return res
+                return lnpost_grid(key, res, lnprior, coord,
+                                   parallax=plx, parallax_err=plx_err,
+                                   feh=feh_d, loga=loga_d,
+                                   dust_profile=(dust_dist, dust_mean,
+                                                 dust_std),
+                                   cfg=post_cfg)
+
+            return jax.jit(jax.vmap(star_step, in_axes=(0, 0, 0, 0, 0)))
+
         from brutus_tpu.ops.pallas_loglike import (loglike_grid_fused,
                                                    prepare_coeffs)
         coeffs_t, n_real = prepare_coeffs(mc, tile=args.tile)
         Mp = coeffs_t.shape[-1]
-        lnprior_p = jnp.zeros(Mp, mc_d.dtype)
-        feh_p = jnp.concatenate([feh_d, jnp.zeros(Mp - M, mc_d.dtype)])
-        loga_p = jnp.concatenate([loga_d,
-                                  jnp.full(Mp - M, 9.0, mc_d.dtype)])
+        dt = coeffs_t.dtype
+        lnprior_p = jnp.zeros(Mp, dt)
+        feh_p = jnp.concatenate([jnp.asarray(feh, dt),
+                                 jnp.zeros(Mp - M, dt)])
+        loga_p = jnp.concatenate([jnp.asarray(loga, dt),
+                                  jnp.full(Mp - M, 9.0, dt)])
 
         def one(key, r, p, pe):
             return lnpost_grid(key, r, lnprior_p, coord,
@@ -138,22 +162,10 @@ def main():
             if args.loglike_only:
                 return res
             return batch_post(keys, res, plx, plx_err)
-    else:
-        def star_step(key, f, e, plx, plx_err):
-            res = loglike_grid(f, e, jnp.ones_like(f, bool), mc_d,
-                               parallax=plx, parallax_err=plx_err,
-                               cfg=fit_cfg)
-            if args.loglike_only:
-                return res
-            return lnpost_grid(key, res, lnprior, coord,
-                               parallax=plx, parallax_err=plx_err,
-                               feh=feh_d, loga=loga_d,
-                               dust_profile=(dust_dist, dust_mean,
-                                             dust_std),
-                               cfg=post_cfg)
 
-        step = jax.jit(jax.vmap(star_step, in_axes=(0, 0, 0, 0, 0)))
+        return step
 
+    step = make_step(args.engine)
     keys = jax.random.split(jax.random.PRNGKey(0), B)
     fx, ex = jnp.asarray(flux), jnp.asarray(err)
     px, pxe = jnp.asarray(parallax), jnp.asarray(parallax_err)
@@ -171,6 +183,40 @@ def main():
           f"engine={args.engine} finite={ok} "
           f"true_model_hit_rate={hit:.2f}", file=sys.stderr)
 
+    # --- cross-engine agreement on hardware (not interpret mode) ---
+    verify_info = {}
+    if args.verify:
+        other = "xla" if args.engine == "fused" else "fused"
+        out2 = make_step(other)(keys, fx, ex, px, pxe)
+        jax.block_until_ready(out2)
+        if args.loglike_only:
+            l1 = np.asarray(out["lnlike"])[:, :M]
+            l2 = np.asarray(out2["lnlike"])[:, :M]
+            w1, w2 = l1.argmax(1), l2.argmax(1)
+            verify_info = {
+                "verify_engines_winner_agreement": float((w1 == w2).mean()),
+                "verify_max_abs_lnl_delta_at_winner": float(np.max(
+                    np.abs(l1[np.arange(B), w1] - l2[np.arange(B), w1]))),
+            }
+        else:
+            e1 = np.asarray(out["log_evidence"])
+            e2 = np.asarray(out2["log_evidence"])
+            d1 = np.median(np.asarray(out["dist"]), axis=1)
+            d2 = np.median(np.asarray(out2["dist"]), axis=1)
+            rel = np.abs(d1 - d2) / np.abs(d2)
+            # max is dominated by stars whose best-fit precision matrix
+            # is genuinely indefinite, where the reference's escalating
+            # PSD repair (fitting.py:1042-1065) is chaotically sensitive
+            # to float32-level input differences; p90 reflects typical
+            # cross-engine agreement.
+            verify_info = {
+                "verify_max_abs_logevid_delta": float(np.max(np.abs(e1 - e2))),
+                "verify_p90_rel_median_dist_delta": float(
+                    np.percentile(rel, 90)),
+                "verify_max_rel_median_dist_delta": float(np.max(rel)),
+            }
+        print(f"# verify vs {other}: {verify_info}", file=sys.stderr)
+
     t0 = time.perf_counter()
     for i in range(args.iters):
         keys = jax.random.split(jax.random.PRNGKey(i + 1), B)
@@ -187,6 +233,7 @@ def main():
         "unit": "stars/s",
         "vs_baseline": round(stars_per_sec * ref_secs_per_star, 2),
     }
+    result.update(verify_info)
     print(json.dumps(result))
 
 

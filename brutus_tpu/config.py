@@ -79,6 +79,17 @@ class FitConfig:
     # flag on unusable magnitudes (fitting.py:725).
     big_var: float = 1e30
 
+    # Fused-kernel iteration budget: the Pallas engine runs a FIXED,
+    # fully unrolled number of magnitude-phase and flux-phase updates
+    # per model (with per-model freeze masks) instead of the XLA path's
+    # `lax.while_loop` convergence predicate.  A data-dependent `cond`
+    # inside a Mosaic kernel costs a vector->scalar reduction + branch
+    # stall every iteration (~2 us), which dominated the kernel; the
+    # budgets below exceed the iteration counts ever observed at
+    # convergence on the XLA path (<=6 mag, <=5 flux with direct init).
+    kernel_mag_iters: int = 6
+    kernel_flux_iters: int = 8
+
     @property
     def mtol(self):
         """Mag-phase tolerance, `2.5 * ltol` (fitting.py:732)."""

@@ -194,8 +194,8 @@ def optimize_mag(mags, wt_mag, mag_coeffs, av0, rv0, cfg: FitConfig):
 
     init = (av0, rv0, rvec0, resid0, jnp.asarray(jnp.inf, mags.dtype),
             jnp.asarray(0, jnp.int32))
-    av, rv, *_ = lax.while_loop(cond, body, init)
-    return av, rv
+    av, rv, _rvec, _resid, _err, n_iter = lax.while_loop(cond, body, init)
+    return av, rv, n_iter
 
 
 # ---------------------------------------------------------------------------
@@ -221,9 +221,11 @@ def sed_mle(flux, wt_flux, mag_coeffs, av, rv, cfg: FitConfig):
     """
     m, rvec, drvec = get_seds_flux(mag_coeffs, av, rv)   # unscaled
 
-    # MLE scale factor (fitting.py:510-518).
+    # MLE scale factor (fitting.py:510-518).  The normal matrix is
+    # floored: m**2 underflows float32 for strongly extincted faint
+    # models and 0/0 would poison chi2 with NaN.
     s_num = m @ (flux * wt_flux)
-    s_den = (m * m) @ wt_flux
+    s_den = jnp.maximum((m * m) @ wt_flux, 1e-30)
     scale = jnp.maximum(s_num / s_den, cfg.scale_min)
 
     # Reddening contribution relative to the intrinsic SED.
@@ -322,10 +324,10 @@ def _flux_polish(flux, wt_flux, mcoeffs, init_arrays, keep, cfg: FitConfig):
             jnp.full((K,), NEG_BIG, dtype), jnp.ones((K,), dtype),
             jnp.asarray(jnp.inf, dtype), jnp.asarray(0, jnp.int32))
     (*_, scale_f, av_f, rv_f, icov_f, _resid,
-     lnl_f, _ss, _lerr, _it) = lax.while_loop(cond, body, init)
+     lnl_f, _ss, _lerr, n_iter) = lax.while_loop(cond, body, init)
     # state order: models, rvecs, drvecs, scale, av, rv, icov, resid,
     #              lnl, stepsize, lerr, it
-    return -2.0 * lnl_f, scale_f, av_f, rv_f, icov_f
+    return -2.0 * lnl_f, scale_f, av_f, rv_f, icov_f, n_iter
 
 
 # ---------------------------------------------------------------------------
@@ -377,7 +379,7 @@ def loglike_grid(flux, fluxerr, mask, mag_coeffs,
     # --- phase A: magnitude fit (fitting.py:727-741) ---
     av0 = jnp.full((M,), cfg.av0, dtype)
     rv0 = jnp.full((M,), cfg.rv0, dtype)
-    av, rv = optimize_mag(mags, wt_mag, mag_coeffs, av0, rv0, cfg)
+    av, rv, n_iter_mag = optimize_mag(mags, wt_mag, mag_coeffs, av0, rv0, cfg)
     (models, rvecs, drvecs, scale, icov_parts,
      resid) = sed_mle(flux, wt_flux, mag_coeffs, av, rv, cfg)
 
@@ -409,7 +411,7 @@ def loglike_grid(flux, fluxerr, mask, mag_coeffs,
             lnl_p if cfg.apply_init_cull else lnl_mag, cfg.polish_k,
             recall_target=0.95)
         g = lambda x: x[sel_idx]
-        (chi2_f, scale_f, av_f, rv_f, icov_f) = _flux_polish(
+        (chi2_f, scale_f, av_f, rv_f, icov_f, n_iter_flux) = _flux_polish(
             flux, wt_flux, mag_coeffs[sel_idx],
             (g(models), g(rvecs), g(drvecs), g(scale), g(av), g(rv),
              tuple(g(p_) for p_ in icov_parts), g(resid)), g(keep), cfg)
@@ -424,7 +426,7 @@ def loglike_grid(flux, fluxerr, mask, mag_coeffs,
         icov_parts = tuple(put(full, new, g(full)) for full, new
                            in zip(icov_parts, icov_f))
     else:
-        (chi2_f, scale_f, av_f, rv_f, icov_f) = _flux_polish(
+        (chi2_f, scale_f, av_f, rv_f, icov_f, n_iter_flux) = _flux_polish(
             flux, wt_flux, mag_coeffs,
             (models, rvecs, drvecs, scale, av, rv, icov_parts, resid),
             keep, cfg)
@@ -443,7 +445,8 @@ def loglike_grid(flux, fluxerr, mask, mag_coeffs,
         lnl = chi2_logpdf(chi2, ndim - 3)
 
     return dict(lnlike=lnl, ndim=ndim, chi2=chi2, scale=scale,
-                av=av, rv=rv, icov_parts=icov_parts)
+                av=av, rv=rv, icov_parts=icov_parts,
+                n_iter=jnp.stack([n_iter_mag, n_iter_flux]))
 
 
 __all__ = ["optimize_mag", "optimize_flux_step", "sed_mle", "loglike_grid"]

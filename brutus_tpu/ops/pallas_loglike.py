@@ -15,13 +15,25 @@ Layout: coefficients are transposed to `(3, F, M)` so models ride the
 filter-axis reductions are cheap sublane reductions and every
 elementwise op vectorizes across 128 models at once.
 
+Program shape (v2): each program handles a group of **8 stars** (rides
+the sublane axis of the per-model row state) against one model tile;
+both optimization phases run a **fixed, fully unrolled iteration
+budget** (`FitConfig.kernel_mag_iters/kernel_flux_iters`) seeded by an
+in-kernel direct 3x3 magnitude-space solve.  The v1 kernel used
+per-(tile, star) programs with `lax.while_loop` convergence — the
+data-dependent cond (vector->scalar reduce + branch) stalled the VPU
+pipeline every iteration and the kernel spent ~95% of its time idle
+(54 stars/s); the unrolled schedule has no scalar syncs at all.
+
 Semantics vs the reference (`brutus/fitting.py:579-820`): identical
-math per model, with one deliberate difference — convergence is
+math per model, with two deliberate differences — (1) convergence is
 tracked **per model** (a model freezes when its own update falls below
 tolerance) instead of the reference's global max-over-good-models
-predicate, which would need a cross-tile reduction every iteration.
-Frozen models have converged at least as tightly as under the global
-rule; posterior summaries agree to well below survey tolerance (see
+predicate, which would need a cross-tile reduction every iteration;
+(2) iteration counts are a fixed budget chosen to exceed observed
+convergence maxima rather than data-dependent.  Frozen models have
+converged at least as tightly as under the global rule; posterior
+summaries agree to well below survey tolerance (see
 tests/test_pallas.py).  The reference's init-threshold cull
 (fitting.py:743-768) is likewise unnecessary here: all models are
 flux-polished, which only improves their fits.
@@ -46,8 +58,11 @@ FLUXFAC = -0.4 * LN10
 from functools import lru_cache
 
 
+GROUP = 8  # stars per program (sublane width of the row state)
+
+
 @lru_cache(maxsize=32)
-def _make_kernel(cfg: FitConfig, n_star: int):
+def _make_kernel(cfg: FitConfig):
     avm, av_sig = cfg.av_gauss
     rvm, rv_sig = cfg.rv_gauss
     avvi = 1.0 / av_sig ** 2
@@ -57,39 +72,48 @@ def _make_kernel(cfg: FitConfig, n_star: int):
     avmin, avmax = cfg.avlim
     rvmin, rvmax = cfg.rvlim
     ln_init_thresh = math.log(cfg.init_thresh)
-    ln_subthresh = math.log(cfg.ltol_subthresh)
 
     def fsum(x):
-        """Filter-axis (sublane) reduction -> (1, T) row."""
-        return jnp.sum(x, axis=0, keepdims=True)
+        """Filter-axis reduction: (G, F, T) -> (G, 1, T)."""
+        return jnp.sum(x, axis=1, keepdims=True)
+
+    def lmax(x):
+        """Per-star max over the model tile: (G, 1, T) -> (G, 1, 1)."""
+        return jnp.max(x, axis=2, keepdims=True)
 
     def kernel(flux_ref, wtf_ref, mags_ref, wtm_ref, coef_ref,
                lnl_ref, chi2_ref, scale_ref, av_ref, rv_ref,
                sden_ref, aden_ref, rden_ref, sa_ref, sr_ref, ar_ref):
-        # Grid: (num_tiles, B); this program handles one (tile, star).
-        # The coefficient and output blocks keep the same index across
-        # the inner star steps, so they stay resident in VMEM and the
-        # grid is streamed from HBM exactly once.
-        b = pl.program_id(1)
-        mag0 = coef_ref[0]        # (F, T)
-        r0 = coef_ref[1]
-        dr = coef_ref[2]
-        T = mag0.shape[1]
+        # Grid: (num_tiles, B // GROUP); one program = 8 stars x 1 tile.
+        # The coefficient block keeps the same index across the inner
+        # group steps, so the grid streams from HBM exactly once.
+        mag0 = coef_ref[0][None]        # (1, F, T)
+        r0 = coef_ref[1][None]
+        dr = coef_ref[2][None]
+
+        flux = flux_ref[:][:, :, None]  # (G, F, 1)
+        wtf = wtf_ref[:][:, :, None]
+        mags = mags_ref[:][:, :, None]
+        wtm = wtm_ref[:][:, :, None]
 
         # Iteration-invariant intrinsic fluxes (hoisted out of `mle`).
         m_int = jnp.exp(FLUXFAC * mag0)
 
-        def mle(av, rv, flux, wtf):
+        def mle(av, rv, want_icov=False):
             """Flux-space MLE re-expansion (fitting.py:430-576)."""
             rvec_m = r0 + rv * dr
             m = m_int * jnp.exp(FLUXFAC * (av * rvec_m))
             rvec = FLUXFAC * m * rvec_m
             drvec = FLUXFAC * m * dr
             s_num = fsum(m * flux * wtf)
-            s_den = fsum(m * m * wtf)
+            # Floor the normal matrix: m**2 underflows f32 for strongly
+            # extincted faint models and 0/0 would poison chi2 with NaN.
+            s_den = jnp.maximum(fsum(m * m * wtf), 1e-30)
             scale = jnp.maximum(s_num / s_den, cfg.scale_min)
             ms = m * scale
             resid = flux - ms
+            if not want_icov:
+                return ms, rvec * scale, drvec * scale, scale, resid
             red_s = (m - m_int) * scale
             t = ms - resid
             sa = fsum(rvec * t * wtf)
@@ -102,126 +126,121 @@ def _make_kernel(cfg: FitConfig, n_star: int):
             return (ms, rvec_s, drvec_s, scale, resid,
                     s_den, a_den, r_den, sa, sr, ar)
 
-        def star_body():
-            flux = flux_ref[0]      # (F, 1)
-            wtf = wtf_ref[0]
-            mags = mags_ref[0]
-            wtm = wtm_ref[0]
+        # ---- phase A seed: direct 3x3 WLS solve of (mu, Av, Av*Rv) ----
+        # (the same closed-form seed as ops.optimize.direct_mag_init)
+        if cfg.mag_direct_init:
+            resid0 = mags - mag0                      # (G, F, T)
+            a00 = jnp.sum(wtm, axis=1, keepdims=True)  # (G, 1, 1)
+            a01 = fsum(r0 * wtm)
+            a02 = fsum(dr * wtm)
+            a11 = fsum(r0 * r0 * wtm) + avvi
+            a12 = fsum(r0 * dr * wtm)
+            a22 = fsum(dr * dr * wtm)
+            b0 = fsum(resid0 * wtm)
+            b1 = fsum(resid0 * r0 * wtm) + avm * avvi
+            b2 = fsum(resid0 * dr * wtm)
+            det = (a00 * (a11 * a22 - a12 * a12)
+                   - a01 * (a01 * a22 - a12 * a02)
+                   + a02 * (a01 * a12 - a11 * a02))
+            det1 = (a00 * (b1 * a22 - a12 * b2)
+                    - b0 * (a01 * a22 - a12 * a02)
+                    + a02 * (a01 * b2 - b1 * a02))
+            det2 = (a00 * (a11 * b2 - b1 * a12)
+                    - a01 * (a01 * b2 - b1 * a02)
+                    + b0 * (a01 * a12 - a11 * a02))
+            safe_det = jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+            av = jnp.clip(det1 / safe_det, avmin, avmax)
+            avrv = det2 / safe_det
+            rv = jnp.where(jnp.abs(av) > 1e-10,
+                           avrv / jnp.where(jnp.abs(av) > 1e-10, av, 1.0),
+                           rvm)
+            rv = jnp.clip(rv, rvmin, rvmax)
+        else:
+            one = jnp.ones((GROUP, 1, mag0.shape[2]), mag0.dtype)
+            av = cfg.av0 * one
+            rv = cfg.rv0 * one
 
-            # ---- phase A: magnitude-space alternating solves ----
-            av = jnp.full((1, T), cfg.av0, mag0.dtype)
-            rv = jnp.full((1, T), cfg.rv0, mag0.dtype)
-            rvec = r0 + rv * dr
-            resid = mags - (mag0 + av * rvec)
-            active = jnp.ones((1, T), mag0.dtype)
+        # ---- phase A: alternating clamped (Av, Rv) 2x2 solves, fixed
+        # unrolled budget.  Like the reference, EVERY model is updated
+        # every iteration (fitting.py:173-237); only the stopping rule
+        # differs (fixed budget instead of the global tolerance test,
+        # which would cost a vector->scalar sync per iteration).
+        rvec = r0 + rv * dr
+        resid = mags - (mag0 + av * rvec)
 
-            s_den_m = jnp.sum(wtm)
-            rp_den = fsum(dr * dr * wtm)
-            srp = fsum(dr * wtm)
+        s_den_m = jnp.sum(wtm, axis=1, keepdims=True)   # (G, 1, 1)
+        rp_den = fsum(dr * dr * wtm)
+        srp = fsum(dr * wtm)
 
-            def mag_cond(st):
-                *_, active, it = st
-                return (jnp.max(active) > 0) & (it < cfg.max_iter_mag)
+        for _ in range(cfg.kernel_mag_iters):
+            a_den = fsum(rvec * rvec * wtm) + avvi
+            sa = fsum(rvec * wtm)
+            rs = fsum(resid * wtm)
+            ra = fsum(resid * rvec * wtm) + (avm - av) * avvi
+            dav = (s_den_m * ra - sa * rs) / (s_den_m * a_den - sa * sa)
+            dav = jnp.clip(dav, avmin - av, avmax - av)
+            av = av + dav
+            resid = resid - dav * rvec
 
-            def mag_body(st):
-                av, rv, rvec, resid, active, it = st
-                a_den = fsum(rvec * rvec * wtm) + avvi
-                sa = fsum(rvec * wtm)
-                rs = fsum(resid * wtm)
-                ra = fsum(resid * rvec * wtm) + (avm - av) * avvi
-                dav = (s_den_m * ra - sa * rs) / (s_den_m * a_den - sa * sa)
-                dav = jnp.clip(dav * active, avmin - av, avmax - av)
-                av = av + dav
-                resid = resid - dav * rvec
+            r_den = rp_den * av * av + rvvi
+            sr = srp * av
+            rs = fsum(resid * wtm)
+            rr = av * fsum(resid * dr * wtm) + (rvm - rv) * rvvi
+            drv = (s_den_m * rr - sr * rs) / (s_den_m * r_den - sr * sr)
+            drv = jnp.clip(drv, rvmin - rv, rvmax - rv)
+            rv = rv + drv
+            resid = resid - (av * drv) * dr
+            rvec = rvec + drv * dr
 
-                r_den = rp_den * av * av + rvvi
-                sr = srp * av
-                rs = fsum(resid * wtm)
-                rr = av * fsum(resid * dr * wtm) + (rvm - rv) * rvvi
-                drv = (s_den_m * rr - sr * rs) / (s_den_m * r_den - sr * sr)
-                drv = jnp.clip(drv * active, rvmin - rv, rvmax - rv)
-                rv = rv + drv
-                resid = resid - (av * drv) * dr
-                rvec = rvec + drv * dr
+        # ---- phase B: flux-space damped polish, fixed unrolled budget.
+        # The freeze set is the tile-local equivalent of the reference's
+        # init-threshold cull (fitting.py:743-768): models below the
+        # tile's best phase-A fit by more than ln(init_thresh) keep
+        # their phase-A (Av, Rv) and are never polished, exactly like
+        # the reference's culled models (fitting.py:805-810).
+        models, rvecs, drvecs, scale, residf = mle(av, rv)
+        chi2 = fsum(residf * residf * wtf)
+        lnl = -0.5 * chi2
+        active = jnp.where(lnl < lmax(lnl) + ln_init_thresh, 0.0, 1.0)
+        stepsize = active
+        lnl_old = lnl
 
-                # Freeze converged models AND models far below the
-                # tile's best fit: the reference's convergence test
-                # ignores them (fitting.py:253-260) and they are culled
-                # before the posterior stage regardless, so iterating
-                # them only serves tile stragglers.
-                chi2 = fsum(resid * resid * wtm)
-                logwt = -0.5 * chi2
-                bad = logwt < jnp.max(logwt) + ln_init_thresh
-                conv = jnp.maximum(jnp.abs(dav), jnp.abs(drv)) < cfg.mtol
-                active = jnp.where(conv | bad, 0.0, active)
-                return av, rv, rvec, resid, active, it + 1
-
-            av, rv, rvec, resid, active, _ = lax.while_loop(
-                mag_cond, mag_body,
-                (av, rv, rvec, resid, active, jnp.asarray(0, jnp.int32)))
-
-            # ---- phase B/C: flux-space damped polish ----
-            (models, rvecs, drvecs, scale, residf,
-             *_ ) = mle(av, rv, flux, wtf)
-            stepsize = jnp.ones((1, T), mag0.dtype)
-            lnl_old = jnp.full((1, T), -1e30, mag0.dtype)
-            active = jnp.ones((1, T), mag0.dtype)
-
-            def flux_cond(st):
-                *_, active, it = st
-                return (jnp.max(active) > 0) & (it < cfg.max_iter_flux)
-
-            def flux_body(st):
-                (av, rv, models, rvecs, drvecs, residf, stepsize,
-                 lnl_old, active, it) = st
-                a_num = fsum(rvecs * residf * wtf) + (avm - av) * avvi
-                a_den = fsum(rvecs * rvecs * wtf) + avvi
-                dav = stepsize * a_num / a_den
-                r_num = fsum(drvecs * residf * wtf) + (rvm - rv) * rvvi
-                r_den = fsum(drvecs * drvecs * wtf) + rvvi
-                drv = stepsize * r_num / r_den
-                dav = jnp.clip(dav * active, avmin - av, avmax - av)
-                drv = jnp.clip(drv * active, rvmin - rv, rvmax - rv)
-                av = av + dav
-                rv = rv + drv
-                (models, rvecs, drvecs, scale, residf,
-                 *_ ) = mle(av, rv, flux, wtf)
-                chi2 = fsum(residf * residf * wtf)
-                lnl = -0.5 * chi2
-                conv = jnp.abs(lnl - lnl_old) < cfg.ltol
-                bad = lnl < jnp.max(lnl) + ln_subthresh
-                stepsize = jnp.where(lnl < lnl_old,
-                                     stepsize / cfg.stepsize_rescale,
-                                     stepsize)
-                active = jnp.where(conv | bad, 0.0, active)
-                return (av, rv, models, rvecs, drvecs, residf, stepsize,
-                        lnl_old * 0 + lnl, active, it + 1)
-
-            (av, rv, models, rvecs, drvecs, residf, stepsize,
-             lnl_old, active, _) = lax.while_loop(
-                flux_cond, flux_body,
-                (av, rv, models, rvecs, drvecs, residf, stepsize,
-                 lnl_old, active, jnp.asarray(0, jnp.int32)))
-
-            # ---- final MLE expansion + outputs ----
-            (models, rvecs, drvecs, scale, residf,
-             s_den, a_den, r_den, sa, sr, ar) = mle(av, rv, flux, wtf)
+        for _ in range(cfg.kernel_flux_iters):
+            a_num = fsum(rvecs * residf * wtf) + (avm - av) * avvi
+            a_den = fsum(rvecs * rvecs * wtf) + avvi
+            dav = stepsize * a_num / a_den
+            r_num = fsum(drvecs * residf * wtf) + (rvm - rv) * rvvi
+            r_den = fsum(drvecs * drvecs * wtf) + rvvi
+            drv = stepsize * r_num / r_den
+            dav = jnp.clip(dav, avmin - av, avmax - av)
+            drv = jnp.clip(drv, rvmin - rv, rvmax - rv)
+            av = av + dav
+            rv = rv + drv
+            models, rvecs, drvecs, scale, residf = mle(av, rv)
             chi2 = fsum(residf * residf * wtf)
+            lnl = -0.5 * chi2
+            # Per-model damping on log-likelihood decrease
+            # (fitting.py:802, rescaling = 1.2).
+            stepsize = jnp.where(lnl < lnl_old,
+                                 stepsize / cfg.stepsize_rescale, stepsize)
+            lnl_old = lnl
 
-            row = pl.ds(b, 1)
-            lnl_ref[row, :] = -0.5 * chi2
-            chi2_ref[row, :] = chi2
-            scale_ref[row, :] = scale
-            av_ref[row, :] = av
-            rv_ref[row, :] = rv
-            sden_ref[row, :] = s_den
-            aden_ref[row, :] = a_den
-            rden_ref[row, :] = r_den
-            sa_ref[row, :] = sa
-            sr_ref[row, :] = sr
-            ar_ref[row, :] = ar
+        # ---- final MLE expansion + outputs ----
+        (models, rvecs, drvecs, scale, residf,
+         s_den, a_den, r_den, sa, sr, ar) = mle(av, rv, want_icov=True)
+        chi2 = fsum(residf * residf * wtf)
 
-        star_body()
+        lnl_ref[:] = -0.5 * chi2[:, 0, :]
+        chi2_ref[:] = chi2[:, 0, :]
+        scale_ref[:] = scale[:, 0, :]
+        av_ref[:] = av[:, 0, :]
+        rv_ref[:] = rv[:, 0, :]
+        sden_ref[:] = s_den[:, 0, :]
+        aden_ref[:] = a_den[:, 0, :]
+        rden_ref[:] = r_den[:, 0, :]
+        sa_ref[:] = sa[:, 0, :]
+        sr_ref[:] = sr[:, 0, :]
+        ar_ref[:] = ar[:, 0, :]
 
     return kernel
 
@@ -298,15 +317,15 @@ def loglike_grid_fused(flux, fluxerr, mask, coeffs_t,
 
     Parameters
     ----------
-    flux, fluxerr, mask : (B, F) star batch (B should be a multiple
-        of 8 for clean tiling; pad if needed).
+    flux, fluxerr, mask : (B, F) star batch (B is padded up to a
+        multiple of GROUP=8 internally).
     coeffs_t : (3, F, M) transposed coefficient grid from
         `prepare_coeffs` (M a multiple of `tile`).
 
     Returns
     -------
     Same dict as the XLA path (`lnlike, ndim, chi2, scale, av, rv,
-    icov_sar`) with a batch axis.
+    icov_parts`) with a batch axis.
     """
     B, F = flux.shape
     _, _, M = coeffs_t.shape
@@ -314,13 +333,25 @@ def loglike_grid_fused(flux, fluxerr, mask, coeffs_t,
     flux = flux.astype(dtype)
     fluxerr = fluxerr.astype(dtype)
 
-    flux, wt_flux, mags, wt_mag, mask, ndim, tot_var = _prep(
+    # Pad the star batch to a whole number of GROUP-star programs.
+    # Padding stars carry zero weight in every band; their outputs are
+    # sliced off below (they produce NaNs from a singular direct init,
+    # which never mix with real lanes).
+    Bp = -(-B // GROUP) * GROUP
+    if Bp != B:
+        pad = ((0, Bp - B), (0, 0))
+        flux = jnp.pad(flux, pad)
+        fluxerr = jnp.pad(fluxerr, pad, constant_values=1.0)
+        mask = jnp.pad(mask, pad, constant_values=False)
+
+    flux_p, wt_flux, mags, wt_mag, mask, ndim, tot_var = _prep(
         flux, fluxerr, mask, cfg)
 
-    to_col = lambda x: x[..., None]                      # (B, F, 1)
-    call = _make_call(cfg, B, F, M, tile, str(dtype), interpret)
-    outs = call(to_col(flux), to_col(wt_flux), to_col(mags),
-                to_col(wt_mag), coeffs_t)
+    call = _make_call(cfg, Bp, F, M, tile, str(dtype), interpret)
+    outs = call(flux_p, wt_flux, mags, wt_mag, coeffs_t)
+    if Bp != B:
+        outs = [o[:B] for o in outs]
+        mask, ndim, tot_var = mask[:B], ndim[:B], tot_var[:B]
     return _post(tuple(outs), mask, ndim, tot_var, cfg, n_real=n_real)
 
 
@@ -330,17 +361,18 @@ def _make_call(cfg, B, F, M, tile, dtype, interpret):
     would miss the trace cache and re-lower the Mosaic kernel every
     dispatch (~0.65 s each on the remote-compile backend)."""
     num_tiles = M // tile
-    star_spec = pl.BlockSpec((1, F, 1), lambda t, b: (b, 0, 0),
+    n_groups = B // GROUP
+    star_spec = pl.BlockSpec((GROUP, F), lambda t, g: (g, 0),
                              memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct((B, M), dtype)] * 11
-    out_specs = [pl.BlockSpec((B, tile), lambda t, b: (0, t),
+    out_specs = [pl.BlockSpec((GROUP, tile), lambda t, g: (g, t),
                               memory_space=pltpu.VMEM)] * 11
     in_specs = [star_spec] * 4 + [
-        pl.BlockSpec((3, F, tile), lambda t, b: (0, 0, t),
+        pl.BlockSpec((3, F, tile), lambda t, g: (0, 0, t),
                      memory_space=pltpu.VMEM)]
     return pl.pallas_call(
-        _make_kernel(cfg, B),
-        grid=(num_tiles, B),
+        _make_kernel(cfg),
+        grid=(num_tiles, n_groups),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,

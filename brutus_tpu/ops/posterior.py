@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.scipy.special import logsumexp
 
 from ..config import PosteriorConfig, GalPriorConfig, DustPriorConfig
-from ..utils import inverse3, is_psd3
+from ..utils import inverse3_stable, is_psd3
 from ..priors import (gal_lnprior, dust_lnprior, parallax_lnprior,
                       scale_parallax_lnprior)
 
@@ -84,7 +84,7 @@ def _psd_repair(icov, cov, scale, valid, cfg: PosteriorConfig):
                           count / width ** 2 * s3], axis=-1)
         add = jax.vmap(jnp.diag)(diag)
         icov = jnp.where(not_psd[:, None, None], icov + add, icov)
-        cov = jnp.where(not_psd[:, None, None], inverse3(icov), cov)
+        cov = jnp.where(not_psd[:, None, None], inverse3_stable(icov), cov)
         return icov, cov
 
     icov, cov = jax.lax.fori_loop(0, cfg.psd_max_passes, body, (icov, cov))
@@ -209,15 +209,18 @@ def lnpost_grid(key, results, lnprior_grid, coord,
     loga_k = take(loga) if loga is not None else None
 
     # --- covariances + PSD repair (fitting.py:1039-1065) ---
-    cov_k = inverse3(icov_k)
+    # Equilibrated inversion: the raw float32 adjugate of these severely
+    # ill-scaled precisions produces sign errors (negative variances)
+    # that would trip the PSD repair on pure noise.
+    cov_k = inverse3_stable(icov_k)
     icov_k, cov_k = _psd_repair(icov_k, cov_k, scale_k, valid, cfg)
 
     # --- MC integration over the (s, Av, Rv) Gaussians
     # (fitting.py:1068-1098) ---
     kmvn, kidx, kmc = jax.random.split(key, 3)
     mean = jnp.stack([scale_k, av_k, rv_k], axis=-1)          # (K, 3)
-    from ..utils import cholesky3, mvn3_transform
-    L = cholesky3(cov_k + cfg.mvn_eps * jnp.eye(3, dtype=dtype))
+    from ..utils import cholesky3_stable, mvn3_transform
+    L = cholesky3_stable(cov_k + cfg.mvn_eps * jnp.eye(3, dtype=dtype))
     z = jax.random.normal(kmvn, (K, 3, Nmc), dtype=dtype)
     samps = mvn3_transform(mean, L, z)                        # (K, 3, Nmc)
     s_mc, a_mc, r_mc = samps[:, 0], samps[:, 1], samps[:, 2]  # (K, Nmc)

@@ -133,6 +133,41 @@ def inverse3(A):
     return jnp.swapaxes(inverse_transpose3(A), -1, -2)
 
 
+def equilibrate3(A):
+    """Diagonal equilibration of stacked symmetric 3x3 matrices.
+
+    Returns `(B, dinv)` with `B = D^-1 A D^-1`, `D = diag(sqrt(|diag A|))`
+    (unit-magnitude diagonal).  The `(s, Av, Rv)` precision matrices mix
+    entry scales over ~8 decades with correlations up to ~0.98; their raw
+    float32 adjugate/Cholesky cancels catastrophically (observed: negative
+    "covariance" diagonals purely from inversion noise).  All minors of
+    `B` have the same signs as those of `A`, so definiteness tests are
+    unchanged.
+    """
+    d = jnp.sqrt(jnp.maximum(
+        jnp.abs(jnp.diagonal(A, axis1=-2, axis2=-1)), 1e-30))
+    dinv = 1.0 / d
+    B = A * dinv[..., :, None] * dinv[..., None, :]
+    return B, dinv
+
+
+def inverse3_stable(A):
+    """Float32-stable inverse of stacked symmetric 3x3 matrices via
+    diagonal equilibration (`inv(A) = D^-1 inv(B) D^-1`)."""
+    B, dinv = equilibrate3(A)
+    return inverse3(B) * dinv[..., :, None] * dinv[..., None, :]
+
+
+def cholesky3_stable(A):
+    """Float32-stable Cholesky of stacked SPD 3x3 matrices.
+
+    `chol(D B D) = D chol(B)` for diagonal `D`, so the factorization runs
+    on the equilibrated matrix and is rescaled afterwards.
+    """
+    B, dinv = equilibrate3(A)
+    return cholesky3(B) / dinv[..., :, None]
+
+
 def cholesky3(A):
     """Closed-form Cholesky factor of stacked SPD 3x3 matrices.
 
@@ -177,8 +212,11 @@ def is_psd3(A, eps=0.0):
 
     The reference checks via a Cholesky try/except (`utils.py:117-127`);
     here we use the leading-principal-minor (Sylvester) criterion, which
-    is branch-free and exact for 3x3.
+    is branch-free and exact for 3x3.  The matrix is equilibrated first
+    (sign-preserving; see `equilibrate3`) so the minors are computed at
+    unit scale instead of cancelling in float32.
     """
+    A, _ = equilibrate3(A)
     a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
     d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
     g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]

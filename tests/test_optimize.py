@@ -61,7 +61,7 @@ def test_optimize_mag_matches_oracle():
     av_o, rv_o = oracle_optimize_mag(flux, tot_var, av0, rv0, mc, mags,
                                      mags_var, tol=cfg.mtol)
     wt_mag = 1.0 / mags_var[0]
-    av_g, rv_g = optimize_mag(jnp.asarray(mags), jnp.asarray(wt_mag),
+    av_g, rv_g, _ = optimize_mag(jnp.asarray(mags), jnp.asarray(wt_mag),
                               jnp.asarray(mc), jnp.asarray(av0),
                               jnp.asarray(rv0), cfg)
     np.testing.assert_allclose(np.asarray(av_g), av_o, rtol=1e-8, atol=1e-10)
