@@ -69,7 +69,7 @@ def main():
                     help="seed the mag phase with the direct 3x3 solve")
     ap.add_argument("--no-direct-init", dest="direct_init",
                     action="store_false")
-    ap.add_argument("--prefilter", type=int, default=8192)
+    ap.add_argument("--prefilter", type=int, default=4096)
     args = ap.parse_args()
 
     if args.smoke:

@@ -131,8 +131,12 @@ class PosteriorConfig:
     # maximum likelihood cannot survive, so evaluating priors for the
     # top `prefilter_k` candidates only (selected with the TPU-optimized
     # `approx_max_k`) is equivalent up to the reference's own memory-cap
-    # truncation.  Set to 0 to disable.
-    prefilter_k: int = 16384
+    # truncation.  When equal to `n_sel_max` (the default) the prefilter
+    # IS the top-K selection and the exact in-between sort is skipped —
+    # post-prior culls then only mask, never reorder, which matches the
+    # reference semantics whenever <= n_sel_max models survive cull #1
+    # (see README divergences).  Set to 0 to disable.
+    prefilter_k: int = 4096
     # PSD repair (fitting.py:1042-1065): escalating diagonal Gaussian
     # priors, doubled each pass; fixed pass count for static control flow.
     psd_width: float = 0.02

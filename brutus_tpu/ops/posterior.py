@@ -148,23 +148,23 @@ def lnpost_grid(key, results, lnprior_grid, coord,
 
     # --- likelihood-rank prefilter: restrict the expensive prior
     # evaluations to the top candidates (see PosteriorConfig.prefilter_k;
-    # models below cull #1's threshold can never survive anyway) ---
+    # models below cull #1's threshold can never survive anyway).  Only
+    # the 7 fields the prior/cull stage reads are gathered at prefilter
+    # width; everything else (chi2, rv, the 6 precision components) is
+    # gathered once at the final top-K with global indices — gathers
+    # dominate this stage on TPU, so each saved array matters. ---
     K1 = cfg.prefilter_k
     if K1 and K1 < M:
         _, pre_idx = jax.lax.approx_max_k(lnprob, K1,
                                           recall_target=0.95)
         sub = lambda x: x[pre_idx] if x is not None else None
-        lnlike, chi2, scale, av, rv = (sub(lnlike), sub(chi2),
-                                       sub(scale), sub(av), sub(rv))
-        if icov_parts is not None:
-            icov_parts = tuple(sub(p) for p in icov_parts)
-        else:
-            icov = icov[pre_idx]
+        lnlike, scale, av = sub(lnlike), sub(scale), sub(av)
         lnprob = sub(lnprob)
         lnprior_grid = sub(lnprior_grid)
-        feh, loga = sub(feh), sub(loga)
+        feh_s, loga_s = sub(feh), sub(loga)
     else:
         pre_idx = None
+        feh_s, loga_s = feh, loga
     K = min(K, lnprob.shape[0])
 
     # --- cull #1 on likelihood (+parallax) (fitting.py:987-997) ---
@@ -176,7 +176,7 @@ def lnpost_grid(key, results, lnprior_grid, coord,
     # --- MLE-solution priors (fitting.py:999-1010) ---
     dist = 1.0 / jnp.sqrt(jnp.maximum(scale, 1e-300))
     lnp_mle = lnlike + lnprior_grid
-    lnp_mle = lnp_mle + gal_lnprior(dist, coord, feh=feh, loga=loga,
+    lnp_mle = lnp_mle + gal_lnprior(dist, coord, feh=feh_s, loga=loga_s,
                                     cfg=gal_cfg)
     if apply_av_prior and dust_profile is not None:
         av_dist, av_mean, av_std = dust_profile
@@ -192,21 +192,32 @@ def lnpost_grid(key, results, lnprior_grid, coord,
 
     # --- fixed-size top-K selection (replaces the memory cap,
     # fitting.py:1029-1036) ---
-    lnp_sel, sel_loc = jax.lax.top_k(score, K)
-    # Global model indices for the outputs; local ones for the gathers.
-    sel_idx = pre_idx[sel_loc] if pre_idx is not None else sel_loc
+    if K == score.shape[0]:
+        # Prefilter width == K: the prefilter IS the selection; skip the
+        # redundant exact sort and its gathers entirely.
+        lnp_sel = score
+        sel_idx = pre_idx if pre_idx is not None else jnp.arange(K)
+        take_local = lambda x: x
+    else:
+        lnp_sel, sel_loc = jax.lax.top_k(score, K)
+        # Global model indices for the outputs; local for the gathers.
+        sel_idx = pre_idx[sel_loc] if pre_idx is not None else sel_loc
+        take_local = lambda x: x[sel_loc]
     valid = jnp.isfinite(lnp_sel)
     lnp_sel = jnp.where(valid, lnp_sel, NEG_BIG)
-    take = lambda x: x[sel_loc]
-    scale_k, av_k, rv_k = take(scale), take(av), take(rv)
+    scale_k, av_k = take_local(scale), take_local(av)
+    # Fields the prior stage never read are gathered here for the first
+    # time, by global index.
+    take_g = lambda x: x[sel_idx]
+    rv_k = take_g(rv)
+    chi2_k = take_g(chi2)
     if icov_parts is not None:
         from .pallas_loglike import icov_from_parts
-        icov_k = icov_from_parts(tuple(take(p) for p in icov_parts))
+        icov_k = icov_from_parts(tuple(take_g(p) for p in icov_parts))
     else:
-        icov_k = take(icov)
-    chi2_k = take(chi2)
-    feh_k = take(feh) if feh is not None else None
-    loga_k = take(loga) if loga is not None else None
+        icov_k = take_g(icov)
+    feh_k = take_g(feh) if feh is not None else None
+    loga_k = take_g(loga) if loga is not None else None
 
     # --- covariances + PSD repair (fitting.py:1039-1065) ---
     # Equilibrated inversion: the raw float32 adjugate of these severely
