@@ -232,14 +232,17 @@ class BruteForce:
             logl_initthresh=5e-3, mag_max=50.0, merr_max=0.25,
             save_dar_draws=True, running_io=True, verbose=True,
             batch_size=16, n_sel_max=4096, seed=0, resume=False,
-            return_results=False, mesh=None, engine="xla", tile=2048):
+            return_results=False, mesh=None, engine=None, tile=1024):
         """Fit every star against the grid and write the results file.
 
         Parity: reference `brutus/fitting.py:1426-1801` (same defaults,
         same output schema).  TPU-specific knobs: `batch_size` (stars
         per compiled step), `n_sel_max` (fixed top-k model count
         replacing `mem_lim`), `seed` (threefry key), `resume`
-        (restart from a partial results file).
+        (restart from a partial results file), `engine` (None = auto:
+        the fused Pallas kernel on TPU whenever the grid fits per
+        device, the XLA/GSPMD path otherwise), `tile` (fused kernel
+        model-tile width).
         """
         (data, data_err, data_mask, parallax, parallax_err, data_coords,
          lnprior) = self._setup(data, data_err, data_mask,
@@ -320,64 +323,118 @@ class BruteForce:
         loga_arr = (np.asarray(self.models_labels["loga"], dtype=float)
                     if apply_dlabels and "loga" in names else None)
 
-        if engine == "fused" and mesh is not None:
-            raise NotImplementedError(
-                "the fused engine does not support a mesh yet; use "
-                "engine='xla' for multi-chip runs")
-        if engine == "fused" and batch_size % 8 != 0:
-            raise ValueError("engine='fused' requires batch_size to be a "
-                             "multiple of 8 (TPU sublane tiling)")
-        if mesh is not None:
-            from .parallel import shard_grid, data_sharding
-            if batch_size % mesh.shape["data"] != 0:
-                raise ValueError("batch_size must be divisible by the "
-                                 "mesh 'data' axis size")
-            (device_models, (lnprior_dev, feh_dev, loga_dev),
-             n_real) = shard_grid(mesh, self.models,
-                                  lnprior.astype(self.models.dtype),
-                                  feh_arr, loga_arr)
-            pad_m = device_models.shape[0] - n_real
-            if pad_m:
-                # Padded models fit as well as real ones (the flux scale
-                # absorbs magnitude offsets); kill them via the grid prior.
-                lnprior_dev = lnprior_dev.at[n_real:].set(-1e30)
-                if ext_lnl is not None:
-                    ext_lnl = np.concatenate(
-                        [ext_lnl, np.zeros((n_data, pad_m),
-                                           ext_lnl.dtype)], axis=1)
-            batch_shard = data_sharding(mesh)
-        else:
-            device_models = jnp.asarray(self.models)
-            lnprior_dev = jnp.asarray(lnprior, device_models.dtype)
-            feh_dev = (jnp.asarray(feh_arr, device_models.dtype)
-                       if feh_arr is not None else None)
-            loga_dev = (jnp.asarray(loga_arr, device_models.dtype)
-                        if loga_arr is not None else None)
-            batch_shard = None
+        # --- engine resolution ---
+        # The fused Pallas kernel replicates the (tiny, ~100 MB max)
+        # coefficient grid per device and shards *stars* over the mesh
+        # 'data' axis; the XLA/GSPMD engine shards the *grid* over the
+        # 'model' axis (for grids too large to replicate) and handles
+        # non-TPU backends at full compiled speed.
+        model_ax = mesh.shape.get("model", 1) if mesh is not None else 1
+        if engine is None:
+            engine = ("fused" if jax.default_backend() == "tpu"
+                      and model_ax == 1 else "xla")
+        if engine == "fused" and model_ax > 1:
+            raise ValueError(
+                "engine='fused' replicates the grid per device and only "
+                "shards the mesh 'data' axis; use engine='xla' for "
+                "model-axis (grid) sharding")
+        if mesh is not None and batch_size % mesh.shape["data"] != 0:
+            raise ValueError("batch_size must be divisible by the "
+                             "mesh 'data' axis size")
 
-        n_real = None
+        batch_shard = None
+        fused_devices = None
         if engine == "fused":
             from .ops.pallas_loglike import prepare_coeffs
-            device_models, n_real = prepare_coeffs(self.models, tile=tile)
-            pad = device_models.shape[-1] - n_real
-            if pad:
-                z = lambda a, fill: jnp.concatenate(
-                    [a, jnp.full(pad, fill, a.dtype)])
-                lnprior_dev = z(lnprior_dev, -1e30)
-                if feh_dev is not None:
-                    feh_dev = z(feh_dev, 0.0)
-                if loga_dev is not None:
-                    loga_dev = z(loga_dev, 9.0)
-                if ext_lnl is not None:
-                    ext_lnl = np.concatenate(
-                        [ext_lnl, np.zeros((n_data, pad), ext_lnl.dtype)],
-                        axis=1)
-        step = self._build_step(fit_cfg, post_cfg, gal_cfg, dust_cfg,
-                                apply_av_prior, apply_dlabels,
-                                device_models, lnprior_dev,
-                                feh=feh_dev, loga=loga_dev,
-                                has_ext=ext_lnl is not None,
-                                engine=engine, tile=tile, n_real=n_real)
+            coeffs_t, n_real = prepare_coeffs(self.models, tile=tile)
+            pad = coeffs_t.shape[-1] - n_real
+
+            def padded(a, fill, dt):
+                a = np.asarray(a, dt)
+                return np.concatenate([a, np.full(pad, fill, dt)]) \
+                    if pad else a
+
+            dt = np.float32
+            lnprior_h = padded(lnprior, -1e30, dt)
+            feh_h = padded(feh_arr, 0.0, dt) if feh_arr is not None else None
+            loga_h = (padded(loga_arr, 9.0, dt)
+                      if loga_arr is not None else None)
+            if pad and ext_lnl is not None:
+                ext_lnl = np.concatenate(
+                    [ext_lnl, np.zeros((n_data, pad), ext_lnl.dtype)],
+                    axis=1)
+
+            fused_devices = (list(mesh.devices.flatten())
+                             if mesh is not None else [None])
+            steps = []
+            for dev in fused_devices:
+                put = (lambda x: x if dev is None
+                       else (jax.device_put(x, dev)
+                             if x is not None else None))
+                steps.append(self._build_step(
+                    fit_cfg, post_cfg, gal_cfg, dust_cfg,
+                    apply_av_prior, apply_dlabels,
+                    put(coeffs_t), put(jnp.asarray(lnprior_h)),
+                    feh=put(jnp.asarray(feh_h)) if feh_h is not None
+                    else None,
+                    loga=put(jnp.asarray(loga_h)) if loga_h is not None
+                    else None,
+                    has_ext=ext_lnl is not None,
+                    engine="fused", tile=tile, n_real=n_real))
+            if len(fused_devices) == 1:
+                step = steps[0]
+            else:
+                # Star-batch data parallelism for the fused engine: the
+                # Mosaic kernel dispatches eagerly per device (async),
+                # so the per-device sub-batches run concurrently.
+                n_dev = len(fused_devices)
+                nb = batch_size // n_dev
+
+                def step(*args):
+                    outs = []
+                    for i, dev in enumerate(fused_devices):
+                        sl = slice(i * nb, (i + 1) * nb)
+                        put = lambda x, s=True: (
+                            None if x is None
+                            else jax.device_put(x[sl] if s else x, dev))
+                        a = [put(x) for x in args[:9]]
+                        a.append(put(args[9], s=False))   # dust ladder
+                        a.append(put(args[10]))
+                        outs.append(steps[i](*a))
+                    return {k: np.concatenate(
+                        [np.asarray(o[k]) for o in outs])
+                        for k in outs[0]}
+        else:
+            if mesh is not None:
+                from .parallel import shard_grid, data_sharding
+                (device_models, (lnprior_dev, feh_dev, loga_dev),
+                 n_real) = shard_grid(mesh, self.models,
+                                      lnprior.astype(self.models.dtype),
+                                      feh_arr, loga_arr)
+                pad_m = device_models.shape[0] - n_real
+                if pad_m:
+                    # Padded models fit as well as real ones (the flux
+                    # scale absorbs magnitude offsets); kill them via
+                    # the grid prior.
+                    lnprior_dev = lnprior_dev.at[n_real:].set(-1e30)
+                    if ext_lnl is not None:
+                        ext_lnl = np.concatenate(
+                            [ext_lnl, np.zeros((n_data, pad_m),
+                                               ext_lnl.dtype)], axis=1)
+                batch_shard = data_sharding(mesh)
+            else:
+                device_models = jnp.asarray(self.models)
+                lnprior_dev = jnp.asarray(lnprior, device_models.dtype)
+                feh_dev = (jnp.asarray(feh_arr, device_models.dtype)
+                           if feh_arr is not None else None)
+                loga_dev = (jnp.asarray(loga_arr, device_models.dtype)
+                            if loga_arr is not None else None)
+            step = self._build_step(fit_cfg, post_cfg, gal_cfg, dust_cfg,
+                                    apply_av_prior, apply_dlabels,
+                                    device_models, lnprior_dev,
+                                    feh=feh_dev, loga=loga_dev,
+                                    has_ext=ext_lnl is not None,
+                                    engine="xla")
 
         writer = None
         if save_file is not None:

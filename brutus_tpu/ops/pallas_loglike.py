@@ -304,8 +304,8 @@ def icov_from_parts(parts):
 
 def loglike_grid_fused(flux, fluxerr, mask, coeffs_t,
                        parallax=None, parallax_err=None,
-                       cfg: FitConfig = FitConfig(), tile=2048,
-                       interpret=False, n_real=None):
+                       cfg: FitConfig = FitConfig(), tile=1024,
+                       interpret=None, n_real=None):
     """Batched per-star grid log-likelihood via the fused Pallas kernel.
 
     NOTE: deliberately NOT wrapped in `jax.jit` — the `pallas_call` is
@@ -332,6 +332,10 @@ def loglike_grid_fused(flux, fluxerr, mask, coeffs_t,
     dtype = coeffs_t.dtype
     flux = flux.astype(dtype)
     fluxerr = fluxerr.astype(dtype)
+    if interpret is None:
+        # Mosaic kernels only compile for TPU; everywhere else (CPU
+        # tests, the virtual multi-device mesh) run interpreted.
+        interpret = jax.default_backend() != "tpu"
 
     # Pad the star batch to a whole number of GROUP-star programs.
     # Padding stars carry zero weight in every band; their outputs are

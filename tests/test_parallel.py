@@ -82,6 +82,36 @@ def test_graft_entry_dryrun():
     mod.dryrun_multichip(8)
 
 
+def test_fused_engine_data_mesh(problem):
+    """Fused engine: star-batch data parallelism over a 2-device mesh
+    (per-device grid replicas, eager per-device kernel dispatch) matches
+    the single-device fused run."""
+    data, errs, mask, coords = problem
+    bf = BruteForce(MC, LABELS, LMASK)
+    kw = dict(data_coords=coords,
+              parallax=np.full(len(data), 1.0),
+              parallax_err=np.full(len(data), 0.05),
+              Nmc_prior=16, Ndraws=32, batch_size=4, n_sel_max=64,
+              verbose=False, return_results=True, engine="fused", tile=64)
+    out1 = bf.fit(data, errs, mask, **kw)
+    mesh = make_mesh(n_data=2, n_model=1, devices=jax.devices()[:2])
+    out2 = bf.fit(data, errs, mask, mesh=mesh, **kw)
+    np.testing.assert_allclose(out2["log_evidence"], out1["log_evidence"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(out2["chi2min"], out1["chi2min"], rtol=1e-6)
+    assert (out2["model_idx"] == out1["model_idx"]).mean() > 0.95
+
+
+def test_fused_engine_rejects_model_mesh(problem):
+    data, errs, mask, coords = problem
+    bf = BruteForce(MC, LABELS, LMASK)
+    mesh = make_mesh(n_data=1, n_model=2, devices=jax.devices()[:2])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="model-axis"):
+        bf.fit(data, errs, mask, data_coords=coords, mesh=mesh,
+               engine="fused", verbose=False, return_results=True)
+
+
 def test_sharded_ext_prior_with_padding(problem):
     """lnprior_ext must be padded along with the sharded model grid."""
     data, errs, mask, coords = problem
