@@ -220,6 +220,136 @@ def oracle_loglike(data, data_err, data_mask, mag_coeffs,
     return lnl, Ndim, chi2, scale, av, rv, icov_sar
 
 
+# ---------------------------------------------------------------------------
+# Posterior-stage oracle (brutus/fitting.py:823-1107)
+# ---------------------------------------------------------------------------
+
+def oracle_scale_parallax_lnprior(s, s_err, p, p_err, snr_lim=4.0):
+    """Reference pdf.py:178-260 in numpy float64."""
+    if not (np.isfinite(p) and np.isfinite(p_err) and p / p_err > snr_lim):
+        return np.zeros_like(s)
+    pm = max(p, 0.0)
+    s_mean = pm ** 2 + p_err ** 2
+    s_std = np.sqrt(2 * p_err ** 4 + 4 * pm ** 2 * p_err ** 2)
+    var = s_std ** 2 + s_err ** 2
+    return -0.5 * ((s - s_mean) ** 2 / var + np.log(2 * np.pi * var))
+
+
+def oracle_parallax_lnprior(par, p, p_err):
+    if not (np.isfinite(p) and np.isfinite(p_err)):
+        return np.zeros_like(par)
+    return -0.5 * ((par - p) ** 2 / p_err ** 2
+                   + np.log(2 * np.pi * p_err ** 2))
+
+
+def oracle_dust_lnprior(dists, avs, av_dist, av_mean, av_std,
+                        scale=1.0, offset=0.0, smooth=1.0, scatter=0.2):
+    """Reference pdf.py:752-840 in numpy float64 (np.interp profile)."""
+    mean_d = scale * np.interp(dists, av_dist, av_mean) + offset
+    err_d = smooth * scale * np.interp(dists, av_dist, av_std)
+    err_d = np.sqrt(err_d ** 2 + scatter ** 2)
+    return -0.5 * ((avs - mean_d) ** 2 / err_d ** 2
+                   + np.log(2 * np.pi * err_d ** 2))
+
+
+def oracle_lnpost(results, z_full, parallax=np.nan, parallax_err=np.nan,
+                  lnprior=None, gal_fn=None, dust_fn=None,
+                  wt_thresh=1e-3, avlim=(0.0, 20.0), rvlim=(1.0, 8.0),
+                  psd_width=0.02):
+    """Reference `lnpost` (brutus/fitting.py:823-1107) with true dynamic
+    subsetting, float64, and *injected* MC normals.
+
+    Parameters
+    ----------
+    results : tuple `(lnlike, Ndim, chi2, scales, avs, rvs, icovs_sar)`.
+    z_full : (M, 3, Nmc) standard-normal draws indexed by *global* model
+        id, so the TPU path's threefry samples can be injected for exact
+        golden-value comparison.
+    gal_fn : callable `(dists, feh?, loga?) -> lnp` (already bound to the
+        coordinate); dust_fn : callable `(dists, avs) -> lnp` or None.
+
+    Returns
+    -------
+    `(sel, cov_sar, lnp, dists_mc, reds_mc, dreds_mc, logwts_mc, levid)`.
+    """
+    lnlike, Ndim, chi2, scales, avs, rvs, icovs = [
+        np.asarray(v, dtype=float) if np.ndim(v) else v for v in results]
+    M = len(lnlike)
+    if lnprior is None:
+        lnprior = np.zeros(M)
+
+    # Rough parallax prior in scale space for clipping (fitting.py:975-985).
+    s_err = 1.0 / np.sqrt(np.abs(icovs[:, 0, 0]))
+    lnprob = lnlike + oracle_scale_parallax_lnprior(scales, s_err,
+                                                    parallax, parallax_err)
+    lnprob[~np.isfinite(lnprob)] = -1e300
+
+    # Cull #1 on likelihood (+ parallax) (fitting.py:988-997).
+    sel = np.where(lnprob > np.max(lnprob) + np.log(wt_thresh))[0]
+
+    # Priors at the MLE solution (fitting.py:999-1010).
+    with np.errstate(all="ignore"):
+        dist = 1.0 / np.sqrt(scales[sel])
+        lnp = lnlike[sel] + lnprior[sel] + gal_fn(dist, sel)
+        if dust_fn is not None:
+            lnp = lnp + dust_fn(dist, avs[sel])
+
+    # Cull #2 on the posterior, then re-base (fitting.py:1012-1023).
+    sel = sel[lnp > np.max(lnp) + np.log(wt_thresh)]
+    lnp = lnlike[sel] + lnprior[sel]
+    scale, av, rv = scales[sel], avs[sel], rvs[sel]
+    icov = icovs[sel].copy()
+
+    # Covariances + escalating PSD repair (fitting.py:1039-1065).
+    cov = np.linalg.inv(icov)
+    not_psd = np.where(~np.all(np.linalg.eigvals(cov) > 0, axis=1))[0]
+    count = 1
+    while len(not_psd) > 0:
+        sfrac = scale[not_psd] * psd_width
+        i1 = cov[not_psd][:, 0, 0] <= 0
+        i2 = cov[not_psd][:, 1, 1] <= 0
+        i3 = cov[not_psd][:, 2, 2] <= 0
+        s1 = i1 + (~i2 * ~i3)
+        s2 = i2 + (~i1 * ~i3)
+        s3 = i3 + (~i1 * ~i2)
+        icov[not_psd] += np.array(
+            [np.diag([count / sf ** 2 * s1[i], count / psd_width ** 2 * s2[i],
+                      count / psd_width ** 2 * s3[i]])
+             for i, sf in enumerate(sfrac)])
+        cov[not_psd] = np.linalg.inv(icov[not_psd])
+        bad = np.where(~np.all(np.linalg.eigvals(cov[not_psd]) > 0,
+                               axis=1))[0]
+        not_psd = not_psd[bad]
+        count *= 2
+
+    # MC integration over the per-model (s, Av, Rv) Gaussians with the
+    # injected normals (fitting.py:1068-1098).
+    L = np.linalg.cholesky(cov)
+    z = z_full[sel]                                   # (Nsel, 3, Nmc)
+    mean = np.stack([scale, av, rv], axis=-1)
+    samps = mean[:, :, None] + np.einsum('kij,kjn->kin', L, z)
+    s_mc, a_mc, r_mc = samps[:, 0], samps[:, 1], samps[:, 2]
+    with np.errstate(all="ignore"):
+        par_mc = np.sqrt(s_mc)
+        dist_mc = 1.0 / par_mc
+        lnp_mc = gal_fn(dist_mc, sel)
+        if dust_fn is not None:
+            lnp_mc = lnp_mc + dust_fn(dist_mc, a_mc)
+        lnp_mc = lnp_mc + oracle_parallax_lnprior(par_mc, parallax,
+                                                  parallax_err)
+    inbounds = ((s_mc >= 1e-20) &
+                (a_mc >= avlim[0]) & (a_mc <= avlim[1]) &
+                (r_mc >= rvlim[0]) & (r_mc <= rvlim[1]))
+    lnp_mc[~inbounds] = -1e300
+    n_eff = inbounds.sum(axis=1)
+    from scipy.special import logsumexp
+    with np.errstate(all="ignore"):
+        lnp = lnp + logsumexp(lnp_mc, axis=1) - np.log(n_eff)
+    lnp[~np.isfinite(lnp)] = -1e300
+    levid = logsumexp(lnp)
+    return sel, cov, lnp, dist_mc, a_mc, r_mc, lnp_mc, levid
+
+
 def make_synthetic_grid(rng, nmodel=64, nfilt=8):
     """Random but physically-plausible (mag, r0, dr) coefficient grid."""
     mags = rng.uniform(2.0, 12.0, size=(nmodel, nfilt))

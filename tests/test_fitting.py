@@ -97,6 +97,95 @@ def test_lnpost_posterior_recovery(tmp_path):
     assert np.isin(np.asarray(out["model_idx"]), valid_ids).all()
 
 
+def test_lnpost_float64_oracle_golden():
+    """Golden-value parity of lnpost_grid against the float64 oracle
+    (reference brutus/fitting.py:823-1107 semantics: culls, priors at
+    the MLE, PSD repair, MC integration) with IDENTICAL MC normals
+    injected on both sides."""
+    from oracle import oracle_lnpost, oracle_dust_lnprior
+    from brutus_tpu.priors import gal_lnprior
+    from brutus_tpu.ops.pallas_loglike import icov_from_parts
+
+    # A grid with a cluster of near-degenerate models around the truth,
+    # so the culls keep a non-trivial survivor set.
+    MC2 = MC.copy()
+    for k in range(40):
+        MC2[100 + k] = MC[33] + rng.normal(0, 0.03, MC[33].shape)
+    flux, err = make_star(MC2, 33, 0.5, 3.4, 1.1, snr=25.0)
+    parallax, parallax_err = 1.0 / 1.1, 0.15 / 1.1
+    res = loglike_grid(jnp.asarray(flux), jnp.asarray(err),
+                       jnp.ones(NFILT, bool), jnp.asarray(MC2),
+                       parallax=jnp.asarray(parallax),
+                       parallax_err=jnp.asarray(parallax_err),
+                       cfg=FitConfig())
+    lnprior = np.asarray(rng.uniform(-1.0, 0.0, NMODEL))
+    dust_dist = np.linspace(0.05, 5.0, 40)
+    dust_mean = np.linspace(0.0, 1.2, 40)
+    dust_std = np.full(40, 0.25)
+
+    Nmc = 24
+    cfg = PosteriorConfig(n_sel_max=NMODEL, n_mc_prior=Nmc,
+                          prefilter_k=0, n_draws=64)
+    key = jax.random.PRNGKey(7)
+    out = lnpost_grid(key, res, jnp.asarray(lnprior), jnp.asarray(COORD),
+                      parallax=jnp.asarray(parallax),
+                      parallax_err=jnp.asarray(parallax_err),
+                      feh=jnp.asarray(LABELS["feh"]),
+                      loga=jnp.asarray(LABELS["loga"]),
+                      dust_profile=(jnp.asarray(dust_dist),
+                                    jnp.asarray(dust_mean),
+                                    jnp.asarray(dust_std)),
+                      cfg=cfg)
+
+    # Reconstruct the exact threefry normals lnpost_grid drew; with
+    # prefilter off and n_sel_max == M, slot k is global model k.
+    kmvn, _, _ = jax.random.split(key, 3)
+    dtype = res["lnlike"].dtype
+    z_full = np.asarray(jax.random.normal(kmvn, (NMODEL, 3, Nmc), dtype))
+    sel_idx = np.asarray(out["sel_idx"])
+    z_global = np.empty_like(z_full)
+    z_global[sel_idx] = z_full
+
+    def gal_fn(dists, sel):
+        feh = LABELS["feh"][sel]
+        loga = LABELS["loga"][sel]
+        if np.ndim(dists) == 2:
+            feh, loga = feh[:, None], loga[:, None]
+        return np.asarray(gal_lnprior(jnp.asarray(dists),
+                                      jnp.asarray(COORD),
+                                      feh=jnp.asarray(feh),
+                                      loga=jnp.asarray(loga)))
+
+    def dust_fn(dists, avs):
+        return oracle_dust_lnprior(dists, avs, dust_dist, dust_mean,
+                                   dust_std)
+
+    icov = np.asarray(icov_from_parts(res["icov_parts"]), dtype=float)
+    results = (np.asarray(res["lnlike"], float), int(res["ndim"]),
+               np.asarray(res["chi2"], float),
+               np.asarray(res["scale"], float),
+               np.asarray(res["av"], float),
+               np.asarray(res["rv"], float), icov)
+    (sel_o, cov_o, lnp_o, dist_o, red_o, dred_o, logwt_o,
+     levid_o) = oracle_lnpost(results, z_global, parallax=parallax,
+                              parallax_err=parallax_err, lnprior=lnprior,
+                              gal_fn=gal_fn, dust_fn=dust_fn)
+
+    # Map oracle-selected models onto the jitted path's top-K slots.
+    slot_of = {int(g): k for k, g in enumerate(sel_idx)}
+    slots = np.array([slot_of[int(g)] for g in sel_o])
+    lnp_j = np.asarray(out["lnp_sel"])[slots]
+    ok = lnp_o > -1e29
+    assert ok.sum() >= 3
+    np.testing.assert_allclose(lnp_j[ok], lnp_o[ok], rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(out["log_evidence"]), levid_o,
+                               rtol=1e-6)
+    # Every model the oracle culled must be dead in the jitted path too.
+    culled = np.setdiff1d(np.arange(NMODEL), sel_o)
+    assert (np.asarray(out["lnp_sel"])[
+        np.array([slot_of[int(g)] for g in culled])] < -1e29).all()
+
+
 def test_lnpost_seed_stability():
     """Evidence is an MC estimate: two seeds must agree within noise."""
     flux, err = make_star(MC, 12, 0.3, 3.1, 0.9)
