@@ -232,7 +232,8 @@ class BruteForce:
             logl_initthresh=5e-3, mag_max=50.0, merr_max=0.25,
             save_dar_draws=True, running_io=True, verbose=True,
             batch_size=16, n_sel_max=4096, seed=0, resume=False,
-            return_results=False, mesh=None, engine=None, tile=1024):
+            return_results=False, mesh=None, engine=None, tile=1024,
+            _yield_batches=False):
         """Fit every star against the grid and write the results file.
 
         Parity: reference `brutus/fitting.py:1426-1801` (same defaults,
@@ -243,6 +244,10 @@ class BruteForce:
         the fused Pallas kernel on TPU whenever the grid fits per
         device, the XLA/GSPMD path otherwise), `tile` (fused kernel
         model-tile width).
+
+        Results stream batch-by-batch: HDF5 rows are written as each
+        batch completes (crash-recoverable via `resume`), and memory
+        stays bounded unless `return_results=True` collects everything.
         """
         (data, data_err, data_mask, parallax, parallax_err, data_coords,
          lnprior) = self._setup(data, data_err, data_mask,
@@ -444,36 +449,43 @@ class BruteForce:
                                    resume=resume)
         start_row = writer.cursor if (writer is not None and resume) else 0
 
-        root_key = jax.random.PRNGKey(seed)
+        def batches():
+            """Stream `(lo, n_valid, out)` per completed star batch."""
+            root_key = jax.random.PRNGKey(seed)
+            for lo in range(start_row, n_data, batch_size):
+                hi = min(lo + batch_size, n_data)
+                n = hi - lo
+                pad = batch_size - n
+                sl = slice(lo, hi)
+
+                def pad_batch(x):
+                    x = np.asarray(x[sl])
+                    if pad:
+                        x = np.concatenate(
+                            [x, np.repeat(x[-1:], pad, axis=0)])
+                    if batch_shard is not None:
+                        return jax.device_put(x, batch_shard)
+                    return jnp.asarray(x)
+
+                keys = jax.vmap(jax.random.fold_in, (None, 0))(
+                    root_key, jnp.arange(lo, lo + batch_size))
+                args = (keys, pad_batch(data), pad_batch(data_err),
+                        pad_batch(data_mask), pad_batch(parallax),
+                        pad_batch(parallax_err), pad_batch(data_coords),
+                        pad_batch(dust_mean) if apply_av_prior else None,
+                        pad_batch(dust_std) if apply_av_prior else None,
+                        dust_dist,
+                        pad_batch(ext_lnl) if ext_lnl is not None else None)
+                out = step(*args)
+                yield lo, n, {k: np.asarray(v) for k, v in out.items()}
+
+        if _yield_batches:
+            return batches()
+
         collected = [] if return_results else None
         t_start = time.time()
         n_done = 0
-        for lo in range(start_row, n_data, batch_size):
-            hi = min(lo + batch_size, n_data)
-            n = hi - lo
-            pad = batch_size - n
-            sl = slice(lo, hi)
-
-            def pad_batch(x):
-                x = np.asarray(x[sl])
-                if pad:
-                    x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
-                if batch_shard is not None:
-                    return jax.device_put(x, batch_shard)
-                return jnp.asarray(x)
-
-            keys = jax.vmap(jax.random.fold_in, (None, 0))(
-                root_key, jnp.arange(lo, lo + batch_size))
-            args = (keys, pad_batch(data), pad_batch(data_err),
-                    pad_batch(data_mask), pad_batch(parallax),
-                    pad_batch(parallax_err), pad_batch(data_coords),
-                    pad_batch(dust_mean) if apply_av_prior else None,
-                    pad_batch(dust_std) if apply_av_prior else None,
-                    dust_dist,
-                    pad_batch(ext_lnl) if ext_lnl is not None else None)
-            out = step(*args)
-            out = {k: np.asarray(v) for k, v in out.items()}
-
+        for lo, n, out in batches():
             if writer is not None:
                 writer.write_batch(lo, out, n_valid=n)
             if collected is not None:
@@ -502,17 +514,23 @@ class BruteForce:
     def _fit(self, data, data_err, data_mask, **kwargs):
         """Per-object generator (API parity with reference
         `brutus/fitting.py:1803-2065`); yields the reference's
-        13-tuple per star."""
+        13-tuple per star.
+
+        Memory-bounded: batches are fit lazily as the generator is
+        consumed (one `batch_size` block resident at a time), unlike a
+        full-catalog materialization.
+        """
         kwargs.setdefault("save_file", None)
-        kwargs["return_results"] = True
         kwargs.setdefault("verbose", False)
-        out = self.fit(data, data_err, data_mask, **kwargs)
-        for i in range(len(data)):
-            yield (out["model_idx"][i], out["scale"][i], out["av"][i],
-                   out["rv"][i], out["cov_sar"][i], out["ndim"][i],
-                   out["lnprob"][i], out["log_evidence"][i],
-                   out["chi2min"][i], out["dist"][i], out["red"][i],
-                   out["dred"][i], out["logwt"][i])
+        kwargs.pop("return_results", None)
+        for _lo, n, out in self.fit(data, data_err, data_mask,
+                                    _yield_batches=True, **kwargs):
+            for i in range(n):
+                yield (out["model_idx"][i], out["scale"][i], out["av"][i],
+                       out["rv"][i], out["cov_sar"][i], out["ndim"][i],
+                       out["lnprob"][i], out["log_evidence"][i],
+                       out["chi2min"][i], out["dist"][i], out["red"][i],
+                       out["dred"][i], out["logwt"][i])
 
 
 __all__ = ["BruteForce", "loglike", "lnpost", "default_grid_lnprior"]

@@ -11,11 +11,15 @@ Parity targets:
     datasets); this is the de-facto checkpoint format, and
     `BruteForce.fit` resumes from partially-written files.
   * data registry — reference `brutus/data.py` (pooch + Harvard
-    Dataverse).  pooch is not a hard dependency here; fetching is
-    gated behind an informative error when it is unavailable.
+    Dataverse).  Implemented here on the standard library alone
+    (urllib + hashlib): Dataverse persistent-DOI URLs, SHA256
+    verification, a local cache directory, atomic writes, and symlinks
+    into the user's working directory — no pooch dependency.
 """
 
+import hashlib
 import os
+import pathlib
 import sys
 
 import numpy as np
@@ -27,84 +31,187 @@ DEFAULT_LABELS = ["mini", "feh", "eep", "smf",
                   "loga", "logl", "logt", "logg",
                   "Mr", "agewt"]
 
-# Dataverse registry (reference brutus/data.py:7-44): file name -> DOI.
-DATAVERSE_DOIS = {
-    "MIST_1.2_iso_vvcrit0.0.h5": "10.7910/DVN/KFBVMS",
-    "MIST_1.2_iso_vvcrit0.4.h5": "10.7910/DVN/4ZTWNM",
-    "MIST_1.2_EEPtrk.h5": "10.7910/DVN/A5QMVT",
-    "bayestar2019_v1.h5": "10.7910/DVN/F7KTTW",
-    "grid_mist_v8.h5": "10.7910/DVN/FZUC3X",
-    "grid_mist_v9.h5": "10.7910/DVN/5YOVFP",
-    "grid_bayestar_v5.h5": "10.7910/DVN/4V8EN1",
-    "offsets_mist_v8.txt": "10.7910/DVN/5GCPCV",
-    "offsets_mist_v9.txt": "10.7910/DVN/RMPVVZ",
-    "offsets_bs_v9.txt": "10.7910/DVN/27Y5Y1",
-    "nn_c3k.h5": "10.7910/DVN/WUSZLL",
+# Dataverse registry (reference brutus/data.py:7-44):
+# file name -> (dataset DOI, SHA256 of the published file).
+DATA_REGISTRY = {
+    "MIST_1.2_iso_vvcrit0.0.h5": (
+        "10.7910/DVN/FZMFQY/BKAG41",
+        "ac46048acb9c9c1c10f02ac1bd958a8c4dd80498923297907fd64c5f3d82cb57"),
+    "MIST_1.2_iso_vvcrit0.4.h5": (
+        "10.7910/DVN/FZMFQY/PRGJIP",
+        "25d97db9760df5e4e3b65c686a04d5247cae5027c55683e892acb7d1a05c30f7"),
+    "MIST_1.2_EEPtrk.h5": (
+        "10.7910/DVN/JV866N/FJ5NNO",
+        "001558c1b32f4a85ea9acca3ad3f7332a565167da3f6164a565c3f3f05afc11b"),
+    "bayestar2019_v1.h5": (
+        "10.7910/DVN/G49MEI/Y9UZPG",
+        "73064ab18f4d1d57b356f7bd8cbcc77be836f090f660cca6727da85ed973d1e6"),
+    "grid_mist_v9.h5": (
+        "10.7910/DVN/7BA4ZG/Z7MGA7",
+        "7d128a5caded78ca9d1788a8e6551b4329aeed9ca74e7a265e531352ecb75288"),
+    "grid_mist_v8.h5": (
+        "10.7910/DVN/7BA4ZG/NKVZFT",
+        "b07d9c19e7ff5e475b1b061af6d1bb4ebd13e0e894fd0703160206964f1084e0"),
+    "grid_bayestar_v5.h5": (
+        "10.7910/DVN/7BA4ZG/LLZP0B",
+        "c5d195430393ebd6c8865a9352c8b0906b2c43ec56d3645bb9d5b80e6739fd0c"),
+    "offsets_mist_v8.txt": (
+        "10.7910/DVN/L7D1FY/QTNKKN",
+        "35425281b5d828431ca5ef93262cb7c6f406814b649d7e7ca4866b8203408e5f"),
+    "offsets_bs_v9.txt": (
+        "10.7910/DVN/L7D1FY/W4O6NJ",
+        "b5449c08eb7b894b6d9aa1449a351851ca800ef4ed461c987434a0c250cba386"),
+    "nn_c3k.h5": (
+        "10.7910/DVN/MSCY2O/XHU1VJ",
+        "bc86d4bf55b2173b97435d24337579a2f337e80ed050c73f1e31abcd04163259"),
 }
+
+# Back-compat view of the registry (name -> DOI).
+DATAVERSE_DOIS = {k: v[0] for k, v in DATA_REGISTRY.items()}
+
+DATAVERSE_URL = ("https://dataverse.harvard.edu/api/access/datafile/"
+                 ":persistentId?persistentId=doi:")
 
 DATA_DIR_ENV = "ASTRO_BRUTUS_DATA_DIR"
 
 
 def data_dir():
-    """Local data directory (env-overridable, reference brutus/data.py:38)."""
+    """Local cache directory (env-overridable, reference brutus/data.py:38)."""
     return os.environ.get(DATA_DIR_ENV,
                           os.path.join(os.path.expanduser("~"),
-                                       ".brutus_tpu_data"))
+                                       ".cache", "brutus_tpu"))
 
 
-def fetch(name, target_dir=None):
-    """Fetch a registered data file (requires network + pooch)."""
-    if name not in DATAVERSE_DOIS:
+def sha256sum(path, chunk=1 << 20):
+    """Streaming SHA256 of a file."""
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        while True:
+            block = f.read(chunk)
+            if not block:
+                break
+            h.update(block)
+    return h.hexdigest()
+
+
+def _download(url, dest, verbose=True, chunk=1 << 20):
+    """Stream `url` into `dest` with a stderr progress meter."""
+    import urllib.request
+    req = urllib.request.Request(url, headers={"User-Agent": "brutus-tpu"})
+    with urllib.request.urlopen(req) as resp, open(dest, "wb") as f:
+        total = int(resp.headers.get("Content-Length") or 0)
+        done = 0
+        while True:
+            block = resp.read(chunk)
+            if not block:
+                break
+            f.write(block)
+            done += len(block)
+            if verbose and total:
+                sys.stderr.write(f"\rdownloading {os.path.basename(dest)}: "
+                                 f"{100.0 * done / total:6.2f}%")
+                sys.stderr.flush()
+        if verbose and total:
+            sys.stderr.write("\n")
+
+
+def fetch(name, target_dir=None, verbose=True, retries=3):
+    """Fetch a registered data file, verifying its SHA256.
+
+    Parity: reference `brutus/data.py` + `brutus/utils.py:350-360`
+    (`_fetch`), without the pooch dependency.  The file is cached at
+    `data_dir()` (override with `ASTRO_BRUTUS_DATA_DIR`), downloaded
+    from its Harvard Dataverse persistent DOI only when missing or
+    corrupt, and symlinked into `target_dir` when given.
+
+    Returns the path of the cached file (or of the symlink).
+    """
+    if name not in DATA_REGISTRY:
         raise KeyError(f"unknown data file {name!r}; known: "
-                       f"{sorted(DATAVERSE_DOIS)}")
-    try:
-        import pooch  # noqa: F401
-    except ImportError as err:
-        raise RuntimeError(
-            "Remote data fetching requires `pooch`, which is not installed "
-            "in this environment. Download "
-            f"doi:{DATAVERSE_DOIS[name]} ({name}) manually into "
-            f"{target_dir or data_dir()}.") from err
-    raise NotImplementedError("network fetching is disabled in this build")
+                       f"{sorted(DATA_REGISTRY)}")
+    doi, ref_hash = DATA_REGISTRY[name]
+    cache = pathlib.Path(data_dir())
+    cache.mkdir(parents=True, exist_ok=True)
+    fpath = cache / name
+
+    if not (fpath.exists() and sha256sum(fpath) == ref_hash):
+        url = DATAVERSE_URL + doi
+        tmp = fpath.with_name(fpath.name + ".part")
+        last_err = None
+        for attempt in range(retries):
+            try:
+                _download(url, tmp, verbose=verbose)
+                got = sha256sum(tmp)
+                if got != ref_hash:
+                    raise IOError(
+                        f"SHA256 mismatch for {name}: expected {ref_hash}, "
+                        f"got {got}")
+                os.replace(tmp, fpath)
+                last_err = None
+                break
+            except Exception as err:   # noqa: BLE001 — retried verbatim
+                last_err = err
+                if tmp.exists():
+                    tmp.unlink()
+        if last_err is not None:
+            raise RuntimeError(
+                f"failed to fetch {name} (doi:{doi}) after {retries} "
+                f"attempts: {last_err}") from last_err
+
+    if target_dir is not None:
+        target = pathlib.Path(target_dir).resolve() / name
+        target.parent.mkdir(parents=True, exist_ok=True)
+        if not target.exists():
+            target.symlink_to(fpath)
+        return str(target)
+    return str(fpath)
 
 
-def _fetch_group(names, target_dir=None):
-    for name in names:
-        fetch(name, target_dir=target_dir)
+def fetch_isos(target_dir=".", iso="MIST_1.2_vvcrit0.0"):
+    """Fetch a MIST isochrone file (reference `utils.py:363-387`)."""
+    names = {"MIST_1.2_vvcrit0.0": "MIST_1.2_iso_vvcrit0.0.h5",
+             "MIST_1.2_vvcrit0.4": "MIST_1.2_iso_vvcrit0.4.h5"}
+    if iso not in names:
+        raise ValueError(f"unknown isochrone set {iso!r}")
+    return fetch(names[iso], target_dir)
 
 
-def fetch_isos(target_dir=None):
-    """Fetch the MIST isochrone files (reference `utils.py:363-387`)."""
-    _fetch_group(["MIST_1.2_iso_vvcrit0.0.h5", "MIST_1.2_iso_vvcrit0.4.h5"],
-                 target_dir)
-
-
-def fetch_tracks(target_dir=None):
+def fetch_tracks(target_dir=".", track="MIST_1.2_vvcrit0.0"):
     """Fetch the MIST EEP track file (reference `utils.py:390-410`)."""
-    _fetch_group(["MIST_1.2_EEPtrk.h5"], target_dir)
+    if track != "MIST_1.2_vvcrit0.0":
+        raise ValueError(f"unknown track set {track!r}")
+    return fetch("MIST_1.2_EEPtrk.h5", target_dir)
 
 
-def fetch_dustmaps(target_dir=None):
+def fetch_dustmaps(target_dir=".", dustmap="bayestar19"):
     """Fetch the Bayestar19 3-D dust map (reference `utils.py:413-433`)."""
-    _fetch_group(["bayestar2019_v1.h5"], target_dir)
+    if dustmap != "bayestar19":
+        raise ValueError(f"unknown dust map {dustmap!r}")
+    return fetch("bayestar2019_v1.h5", target_dir)
 
 
-def fetch_grids(target_dir=None, versions=("v9",)):
-    """Fetch pre-computed model grids (reference `utils.py:436-463`)."""
-    names = {"v8": "grid_mist_v8.h5", "v9": "grid_mist_v9.h5",
-             "bayestar": "grid_bayestar_v5.h5"}
-    _fetch_group([names[v] for v in versions], target_dir)
+def fetch_grids(target_dir=".", grid="mist_v9"):
+    """Fetch a pre-computed model grid (reference `utils.py:436-463`)."""
+    names = {"mist_v8": "grid_mist_v8.h5", "mist_v9": "grid_mist_v9.h5",
+             "bayestar_v5": "grid_bayestar_v5.h5"}
+    if grid not in names:
+        raise ValueError(f"unknown grid {grid!r}")
+    return fetch(names[grid], target_dir)
 
 
-def fetch_offsets(target_dir=None):
-    """Fetch photometric offset tables (reference `utils.py:466-493`)."""
-    _fetch_group(["offsets_mist_v8.txt", "offsets_mist_v9.txt",
-                  "offsets_bs_v9.txt"], target_dir)
+def fetch_offsets(target_dir=".", offsets="mist_v8"):
+    """Fetch a photometric offset table (reference `utils.py:466-493`)."""
+    names = {"mist_v8": "offsets_mist_v8.txt", "bs_v9": "offsets_bs_v9.txt"}
+    if offsets not in names:
+        raise ValueError(f"unknown offsets table {offsets!r}")
+    return fetch(names[offsets], target_dir)
 
 
-def fetch_nns(target_dir=None):
+def fetch_nns(target_dir=".", nns="c3k"):
     """Fetch the BC neural-network file (reference `utils.py:496-517`)."""
-    _fetch_group(["nn_c3k.h5"], target_dir)
+    if nns != "c3k":
+        raise ValueError(f"unknown NN set {nns!r}")
+    return fetch("nn_c3k.h5", target_dir)
 
 
 def load_models(filepath, filters=None, labels=None,

@@ -19,12 +19,60 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+_initialized = False
+
+
+def initialize(coordinator_address=None, num_processes=None,
+               process_id=None, local_device_ids=None):
+    """Multi-host bring-up: join this process to the JAX distributed
+    runtime so `jax.devices()` spans every host's chips.
+
+    Thin, idempotent wrapper over `jax.distributed.initialize` — the
+    TPU-native replacement for the communication backend the reference
+    never had (SURVEY.md §2 checklist).  On Cloud TPU VMs all arguments
+    are discovered from the metadata server, so a typical v5e-8 (or
+    multi-host v5e-16+) launch is simply:
+
+        # same command on every TPU VM worker, e.g. via
+        #   gcloud compute tpus tpu-vm ssh $NAME --worker=all --command=...
+        python -c "
+        import brutus_tpu.parallel as bp
+        bp.initialize()                       # no-op on a single host
+        mesh = bp.make_mesh(n_data=<hosts>)   # spans ALL processes
+        ... BruteForce(...).fit(..., mesh=mesh)
+        "
+
+    Sharding guidance: keep the 'model' axis inside a slice (its
+    logsumexp/top-k collectives ride ICI) and put the embarrassingly
+    parallel 'data' (star-batch) axis across hosts/slices, where DCN
+    traffic is one batch of stars per step.
+    """
+    global _initialized
+    if _initialized or jax.process_count() > 1:
+        _initialized = True
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id,
+            local_device_ids=local_device_ids)
+        _initialized = True
+    except (ValueError, RuntimeError) as err:
+        # Single-process environments (no coordinator discoverable) are
+        # not an error: the mesh simply spans the local devices.
+        if num_processes not in (None, 1):
+            raise
+        import warnings
+        warnings.warn(f"jax.distributed.initialize unavailable "
+                      f"({err}); continuing single-process")
+
 
 def make_mesh(n_data=None, n_model=None, devices=None):
     """Build a `('data', 'model')` mesh over the available devices.
 
-    With no arguments, uses all devices with data-parallel degree 1
-    (the model grid is the long axis worth sharding first — it is ~50x
+    With no arguments, uses all devices — across every participating
+    process after `initialize()` — with data-parallel degree 1 (the
+    model grid is the long axis worth sharding first — it is ~50x
     larger than any practical star batch).
     """
     if devices is None:
@@ -106,5 +154,5 @@ def shard_grid(mesh, mag_coeffs, *label_arrays):
     return mc_dev, tuple(labels_dev), n
 
 
-__all__ = ["make_mesh", "model_sharding", "data_sharding", "replicated",
-           "shard_grid", "pad_to_multiple"]
+__all__ = ["initialize", "make_mesh", "model_sharding", "data_sharding",
+           "replicated", "shard_grid", "pad_to_multiple"]

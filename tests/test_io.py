@@ -45,13 +45,45 @@ def test_results_writer_cursor(tmp_path):
     assert (res["model_idx"][2:] == -99).all()
 
 
-def test_fetch_gated():
+def test_fetch_registry_and_errors():
+    from brutus_tpu.io import DATA_REGISTRY
     assert "grid_mist_v9.h5" in DATAVERSE_DOIS
-    with pytest.raises((RuntimeError, KeyError)):
-        fetch("grid_mist_v9.h5")
+    for name, (doi, sha) in DATA_REGISTRY.items():
+        assert doi.startswith("10.7910/DVN/")
+        assert len(sha) == 64 and int(sha, 16) >= 0
     with pytest.raises(KeyError):
         fetch("nonexistent.h5")
     assert isinstance(data_dir(), str)
+
+
+def test_fetch_cache_hit_and_symlink(tmp_path, monkeypatch):
+    """A cached file with the right SHA256 is served without network;
+    corruption triggers a (failing, offline) re-download attempt."""
+    import brutus_tpu.io as io
+
+    cache = tmp_path / "cache"
+    cache.mkdir()
+    monkeypatch.setenv(io.DATA_DIR_ENV, str(cache))
+    payload = b"synthetic offsets file\n"
+    (cache / "offsets_mist_v8.txt").write_bytes(payload)
+    good = io.sha256sum(cache / "offsets_mist_v8.txt")
+    monkeypatch.setitem(io.DATA_REGISTRY, "offsets_mist_v8.txt",
+                        ("10.7910/DVN/L7D1FY/QTNKKN", good))
+
+    # Cache hit: no network touched, symlink created in target_dir.
+    target = tmp_path / "work"
+    out = io.fetch("offsets_mist_v8.txt", str(target), verbose=False)
+    assert os.path.islink(out)
+    assert open(out, "rb").read() == payload
+    # Second call: symlink already present, same result.
+    assert io.fetch("offsets_mist_v8.txt", str(target),
+                    verbose=False) == out
+
+    # Corrupt the cache: fetch must try to re-download (and fail offline
+    # with an informative error, not serve the corrupt file).
+    (cache / "offsets_mist_v8.txt").write_bytes(b"corrupted")
+    with pytest.raises(RuntimeError, match="failed to fetch"):
+        io.fetch("offsets_mist_v8.txt", verbose=False, retries=1)
 
 
 REF_ORION = "/root/reference/demos/Orion_l204.7_b-19.2.h5"

@@ -33,6 +33,17 @@ def _run(problem, mesh):
                   verbose=False, return_results=True, mesh=mesh)
 
 
+def test_initialize_single_process():
+    """initialize() is an idempotent no-op in single-process settings
+    and make_mesh afterwards spans all local devices."""
+    from brutus_tpu.parallel import initialize
+    initialize()
+    initialize()   # idempotent
+    assert jax.process_count() == 1
+    mesh = make_mesh()
+    assert mesh.devices.size == len(jax.devices())
+
+
 def test_mesh_construction():
     mesh = make_mesh(n_data=2, n_model=4)
     assert dict(mesh.shape) == {"data": 2, "model": 4}
