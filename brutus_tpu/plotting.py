@@ -13,6 +13,7 @@ import matplotlib
 import matplotlib.pyplot as plt
 from scipy.ndimage import gaussian_filter as norm_kde
 
+from .utils import magnitude
 from .utils import quantile as _wquantile
 
 
@@ -204,87 +205,315 @@ def posterior_predictive(models, idxs, reds, dreds, dists, data=None,
     return ax
 
 
-def photometric_offsets(phot, err, mask, models, idxs, reds, dreds, dists,
-                        x, bins=50, offset=None, sel=None, weights=None,
-                        xlabel=None, ax=None, color="black", **kwargs):
-    """Binned median model/data flux ratio vs a quantity `x`.
-
-    Parity: reference `brutus/plotting.py:939-1145` — the 1-D
-    diagnostic of photometric offsets per band as a function of e.g.
-    magnitude or color.  Returns `(ax, (bin_centers, medians))` for the
-    requested band data already flattened into `phot`.
-    """
+def _posterior_predictive_mags(models, idxs, reds, dreds, dists):
+    """Posterior-predictive apparent magnitudes `(Nobj, Nsamps, Nfilt)`
+    (reference `brutus/plotting.py:1073-1077`)."""
     from .ops.sed import get_seds
     import jax.numpy as jnp
-    n_obj, n_samp = np.shape(idxs)
-    if sel is None:
-        sel = np.ones(n_obj, bool)
-    seds = np.asarray(get_seds(jnp.asarray(models[np.asarray(idxs).ravel()]),
-                               av=jnp.asarray(np.asarray(reds).ravel()),
-                               rv=jnp.asarray(np.asarray(dreds).ravel()),
-                               return_flux=True))
-    seds = (seds / np.asarray(dists).ravel()[:, None] ** 2).reshape(
-        n_obj, n_samp, -1)
-    if offset is not None:
-        seds = seds * np.asarray(offset)
-    ratio = np.nanmedian(seds, axis=1) / phot      # (Nobj, Nfilt)
-    if ax is None:
-        ax = plt.gca()
-    edges = np.linspace(np.nanmin(x), np.nanmax(x), bins + 1)
-    centers = 0.5 * (edges[1:] + edges[:-1])
-    med = np.full((bins, ratio.shape[1]), np.nan)
-    for b in range(bins):
-        inbin = sel & (x >= edges[b]) & (x < edges[b + 1])
-        if inbin.sum() > 2:
-            med[b] = np.nanmedian(ratio[inbin], axis=0)
-    for i in range(ratio.shape[1]):
-        ax.plot(centers, med[:, i], **kwargs)
-    ax.axhline(1.0, ls="--", color=color)
-    if xlabel:
-        ax.set_xlabel(xlabel)
-    ax.set_ylabel("model / data")
-    return ax, (centers, med)
+    idxs = np.asarray(idxs)
+    n_obj, n_samp = idxs.shape
+    mpred = np.asarray(get_seds(
+        jnp.asarray(models[idxs.ravel()]),
+        av=jnp.asarray(np.asarray(reds, float).ravel()),
+        rv=jnp.asarray(np.asarray(dreds, float).ravel())))
+    mpred = mpred + 5.0 * np.log10(np.asarray(dists, float).ravel())[:, None]
+    return mpred.reshape(n_obj, n_samp, -1)
+
+
+def _leave_band_weights(magobs, mageobs, mask, mpred, band, dim_prior=True):
+    """Per-sample posterior weights recomputed with `band` excluded.
+
+    Parity: reference `brutus/plotting.py:1100-1116` (leave-one-band-out
+    `phot_loglike` reweighting), vectorized over objects x samples.
+    Returns `(selection, weights)` of shapes `(Nobj,)`, `(Nobj, Nsamps)`.
+    """
+    from scipy import stats
+    from scipy.special import logsumexp
+    mtemp = np.array(mask, bool)
+    mtemp[:, band] = False
+    sel = (mask[:, band] & (mtemp.sum(axis=1) > 3)
+           & np.all(np.isfinite(np.where(mask, magobs, 0.0)), axis=1))
+    var = np.where(mtemp, mageobs, 1.0)[:, None, :] ** 2
+    resid = np.where(mtemp[:, None, :],
+                     np.where(mtemp, magobs, 0.0)[:, None, :] - mpred, 0.0)
+    chi2 = np.nansum(resid ** 2 / var, axis=2)          # (Nobj, Nsamps)
+    if dim_prior:
+        dof = np.maximum(mtemp.sum(axis=1) - 3, 1)
+        lnl = stats.chi2.logpdf(chi2, dof[:, None])
+    else:
+        lnl = -0.5 * chi2
+    lnl = np.where(np.isfinite(lnl), lnl, -1e300)
+    wt = np.exp(lnl - logsumexp(lnl, axis=1)[:, None])
+    wt /= wt.sum(axis=1)[:, None]
+    return sel, wt
+
+
+def photometric_offsets(phot, err, mask, models, idxs, reds, dreds, dists,
+                        x=None, flux=True, weights=None, bins=100,
+                        offset=None, dim_prior=True, plot_thresh=0.0,
+                        cmap="viridis", xspan=None, yspan=None, titles=None,
+                        xlabel=None, plot_kwargs=None, fig=None):
+    """Per-band panels of photometric offsets `mag_pred - mag_obs`.
+
+    Parity: reference `brutus/plotting.py:939-1145`: posterior-predictive
+    magnitudes per draw, observed data reweighted by the leave-one-band-out
+    likelihood, one 2-D histogram panel of `Delta mag` vs `x` (default:
+    observed magnitude) per band in a 5-column grid.
+    """
+    phot, err, mask = [np.asarray(v) for v in (phot, err, mask)]
+    mask = mask.astype(bool)
+    idxs = np.asarray(idxs)
+    n_obj, n_samp = idxs.shape
+    n_filt = models.shape[1]
+    if plot_kwargs is None:
+        plot_kwargs = {}
+    if weights is None:
+        weights = np.ones((n_obj, n_samp))
+    elif np.ndim(weights) == 1:
+        weights = np.repeat(weights, n_samp).reshape(n_obj, n_samp)
+    bins = ([bins] * n_filt if np.isscalar(bins) else list(bins))
+    if titles is None:
+        titles = [f"Band {i}" for i in range(n_filt)]
+    if offset is None:
+        offset = np.ones(n_filt)
+
+    mpred = _posterior_predictive_mags(models, idxs, reds, dreds, dists)
+    with np.errstate(all="ignore"):
+        if flux:
+            magobs, mageobs = [np.asarray(v) for v in
+                               magnitude(phot * offset, err * offset)]
+        else:
+            magobs, mageobs = phot + offset, err
+
+    if fig is None:
+        ncols = 5
+        nrows = (n_filt - 1) // ncols + 1
+        fig, axes = plt.subplots(nrows, ncols,
+                                 figsize=(ncols * 6, nrows * 5),
+                                 squeeze=False)
+    else:
+        fig, axes = fig
+    ax = np.asarray(axes).ravel()
+
+    for i in range(n_filt):
+        s, wt = _leave_band_weights(magobs, mageobs, mask, mpred, i,
+                                    dim_prior=dim_prior)
+        mobs = np.repeat(magobs[s, i], n_samp)
+        if x is None:
+            xp = mobs
+        elif np.shape(x) == (n_obj, n_samp):
+            xp = np.asarray(x)[s].ravel()
+        else:
+            xp = np.repeat(np.asarray(x)[s], n_samp)
+        mp = mpred[s, :, i].ravel()
+        w = (weights[s] * wt[s]).ravel()
+        good = np.isfinite(xp) & np.isfinite(mp - mobs)
+        if good.sum() < 2:
+            continue
+        if xspan is None:
+            xlo, xhi = _quantile(xp[good], [0.02, 0.98], w[good])
+        else:
+            xlo, xhi = xspan[i]
+        if yspan is None:
+            ylo, yhi = _quantile((mp - mobs)[good], [0.02, 0.98], w[good])
+        else:
+            ylo, yhi = yspan[i]
+        bx = np.linspace(xlo, xhi, bins[i] + 1)
+        by = np.linspace(min(ylo, -1e-10), max(yhi, 1e-10), bins[i] + 1)
+        ax[i].hist2d(xp[good], (mp - mobs)[good], bins=(bx, by),
+                     weights=w[good], cmin=plot_thresh or None, cmap=cmap,
+                     **plot_kwargs)
+        ax[i].set_xlabel(xlabel if xlabel else
+                         (titles[i] if x is None else "Label"))
+        ax[i].set_title(titles[i])
+        ax[i].set_ylabel(r"$\Delta\,$mag")
+    for i in range(n_filt, ax.size):
+        ax[i].set_frame_on(False)
+        ax[i].set_xticks([])
+        ax[i].set_yticks([])
+    fig.tight_layout()
+    return fig, axes
 
 
 def photometric_offsets_2d(phot, err, mask, models, idxs, reds, dreds,
-                           dists, x, y, bins=40, band=0, offset=None,
-                           sel=None, ax=None, cmap="coolwarm",
-                           clim=(0.9, 1.1), **kwargs):
-    """2-D map of median model/data ratio vs `(x, y)` for one band.
+                           dists, x, y, flux=True, weights=None, bins=30,
+                           offset=None, dim_prior=True, plot_thresh=10,
+                           clims=(-0.05, 0.05), show_off=True,
+                           cmap="coolwarm", xspan=None, yspan=None,
+                           titles=None, xlabel=None, ylabel=None,
+                           plot_kwargs=None, fig=None):
+    """Per-band 2-D maps of the weighted-median `mag_pred - mag_obs`
+    binned over `(x, y)` (e.g. sky position or color-magnitude).
 
     Parity: reference `brutus/plotting.py:1148-1383`.
     """
-    from .ops.sed import get_seds
+    phot, err, mask = [np.asarray(v) for v in (phot, err, mask)]
+    mask = mask.astype(bool)
+    idxs = np.asarray(idxs)
+    x, y = np.asarray(x, float), np.asarray(y, float)
+    n_obj, n_samp = idxs.shape
+    n_filt = models.shape[1]
+    if plot_kwargs is None:
+        plot_kwargs = {}
+    if weights is None:
+        weights = np.ones((n_obj, n_samp))
+    elif np.ndim(weights) == 1:
+        weights = np.repeat(weights, n_samp).reshape(n_obj, n_samp)
+    bins = ([bins] * n_filt if np.isscalar(bins) else list(bins))
+    if titles is None:
+        titles = [f"Band {i}" for i in range(n_filt)]
+    if offset is None:
+        offset = np.ones(n_filt)
+    elif show_off:
+        titles = [f"{t} ({100.0 * (off - 1.0):2.2}% offset)"
+                  for t, off in zip(titles, offset)]
+
+    mpred = _posterior_predictive_mags(models, idxs, reds, dreds, dists)
+    with np.errstate(all="ignore"):
+        if flux:
+            magobs, mageobs = [np.asarray(v) for v in
+                               magnitude(phot * offset, err * offset)]
+        else:
+            magobs, mageobs = phot + offset, err
+        dm = mpred - np.where(mask, magobs, np.nan)[:, None, :]
+
+    if fig is None:
+        ncols = 5
+        nrows = (n_filt - 1) // ncols + 1
+        fig, axes = plt.subplots(nrows, ncols,
+                                 figsize=(ncols * 6, nrows * 5),
+                                 squeeze=False)
+    else:
+        fig, axes = fig
+    ax = np.asarray(axes).ravel()
+
+    for i in range(n_filt):
+        nb = bins[i]
+        xb = (np.linspace(*xspan[i], nb + 1) if xspan is not None
+              else np.linspace(np.nanmin(x), np.nanmax(x), nb + 1))
+        yb = (np.linspace(*yspan[i], nb + 1) if yspan is not None
+              else np.linspace(np.nanmin(y), np.nanmax(y), nb + 1))
+        xloc = np.clip(np.digitize(x, xb) - 1, 0, nb - 1)
+        yloc = np.clip(np.digitize(y, yb) - 1, 0, nb - 1)
+        s, wt = _leave_band_weights(magobs, mageobs, mask, mpred, i,
+                                    dim_prior=dim_prior)
+        off2d = np.full((nb, nb), np.nan)
+        flat = xloc * nb + yloc
+        for b in np.unique(flat[s]):
+            bsel = np.where(s & (flat == b))[0]
+            if len(bsel) >= plot_thresh:
+                offs = dm[bsel, :, i].ravel()
+                w = (wt[bsel] * weights[bsel]).ravel()
+                good = np.isfinite(offs)
+                if good.any():
+                    off2d[b // nb, b % nb] = _quantile(
+                        offs[good], [0.5], w[good])[0]
+        img = ax[i].imshow(off2d.T, origin="lower",
+                           extent=(xb[0], xb[-1], yb[0], yb[-1]),
+                           vmin=clims[0], vmax=clims[1], aspect="auto",
+                           cmap=cmap, **plot_kwargs)
+        ax[i].set_xlabel(xlabel or "X")
+        ax[i].set_ylabel(ylabel or "Y")
+        ax[i].set_title(titles[i])
+        plt.colorbar(img, ax=ax[i], label=r"$\Delta\,$mag")
+    for i in range(n_filt, ax.size):
+        ax[i].set_frame_on(False)
+        ax[i].set_xticks([])
+        ax[i].set_yticks([])
+    fig.tight_layout()
+    return fig, axes
+
+
+def cornerplot_fit(idxs, data, params, lndistprior=None, coord=None,
+                   avlim=(0.0, 6.0), rvlim=(1.0, 8.0), weights=None,
+                   parallax=None, parallax_err=None, Nr=500,
+                   applied_parallax=True, pcolor="blue",
+                   quantiles=(0.025, 0.5, 0.975), color="black",
+                   span=None, smooth=0.02, bins=50, show_titles=True,
+                   title_fmt=".2f", truths=None, fig=None, seed=0,
+                   **kwargs):
+    """Corner plot driven directly by `BruteForce.fit` outputs.
+
+    Parity: reference `brutus/plotting.py:38-520` (`cornerplot`):
+    stellar labels come from `params[idxs]` (ignoring `agewt`), the
+    `(Av, Rv, parallax, distance)` columns from the saved draws — or,
+    when `data` is `(scales, avs, rvs, covs_sar)`, regenerated with
+    `draw_sar` and reweighted by the distance (+ parallax) priors —
+    and the parallax measurement is overlaid on the parallax panel.
+
+    Parameters
+    ----------
+    idxs : (Nsamps,) resampled model indices for one star.
+    data : `(dists, reds, dreds)` saved draws, or
+        `(scales, avs, rvs, covs_sar)` per-draw MLE summaries.
+    params : structured array of per-model labels (`models_labels`).
+    """
+    import jax
     import jax.numpy as jnp
-    n_obj, n_samp = np.shape(idxs)
-    if sel is None:
-        sel = np.ones(n_obj, bool)
-    seds = np.asarray(get_seds(jnp.asarray(models[np.asarray(idxs).ravel()]),
-                               av=jnp.asarray(np.asarray(reds).ravel()),
-                               rv=jnp.asarray(np.asarray(dreds).ravel()),
-                               return_flux=True))
-    seds = (seds / np.asarray(dists).ravel()[:, None] ** 2).reshape(
-        n_obj, n_samp, -1)
-    if offset is not None:
-        seds = seds * np.asarray(offset)
-    ratio = np.nanmedian(seds[:, :, band], axis=1) / phot[:, band]
-    xe = np.linspace(np.nanmin(x), np.nanmax(x), bins + 1)
-    ye = np.linspace(np.nanmin(y), np.nanmax(y), bins + 1)
-    H = np.full((bins, bins), np.nan)
-    ix = np.clip(np.digitize(x, xe) - 1, 0, bins - 1)
-    iy = np.clip(np.digitize(y, ye) - 1, 0, bins - 1)
-    for b in range(bins):
-        for c in range(bins):
-            inbin = sel & (ix == b) & (iy == c)
-            if inbin.sum() > 2:
-                H[b, c] = np.nanmedian(ratio[inbin])
-    if ax is None:
-        ax = plt.gca()
-    pc = ax.pcolormesh(xe, ye, H.T, cmap=cmap, vmin=clim[0], vmax=clim[1],
-                       shading="auto", **kwargs)
-    plt.colorbar(pc, ax=ax, label="model / data")
-    return ax, (H, xe, ye)
+    from .priors import gal_lnprior, parallax_lnprior
+
+    idxs = np.asarray(idxs)
+    labels = [n for n in params.dtype.names if n != "agewt"]
+    samples = np.array([np.asarray(params[n], float)[idxs]
+                        for n in labels])
+
+    if len(data) == 3:
+        ddraws, adraws, rdraws = [np.asarray(d, float) for d in data]
+        pdraws = 1.0 / ddraws
+    else:
+        from .utils import draw_sar
+        from scipy.special import logsumexp
+        scales, avs, rvs, covs = [np.asarray(d, float) for d in data]
+        if lndistprior is None and coord is None:
+            raise ValueError("`coord` must be passed if the default "
+                             "distance prior is used")
+        key = jax.random.PRNGKey(seed)
+        sdr, adr, rdr = [np.asarray(v) for v in draw_sar(
+            key, jnp.asarray(scales), jnp.asarray(avs), jnp.asarray(rvs),
+            jnp.asarray(covs), ndraws=Nr, avlim=avlim, rvlim=rvlim)]
+        pdr = np.sqrt(np.maximum(sdr, 1e-300))
+        ddr = 1.0 / pdr
+        if lndistprior is None:
+            lnp_draws = np.asarray(gal_lnprior(jnp.asarray(ddr),
+                                               jnp.asarray(coord)))
+        else:
+            lnp_draws = lndistprior(ddr, coord)
+        if applied_parallax:
+            if parallax is None or parallax_err is None:
+                raise ValueError("`parallax` and `parallax_err` must be "
+                                 "provided together")
+            lnp_draws = lnp_draws + np.asarray(parallax_lnprior(
+                jnp.asarray(pdr), parallax, parallax_err))
+        pwt = np.exp(lnp_draws - logsumexp(lnp_draws, axis=1)[:, None])
+        pwt /= pwt.sum(axis=1)[:, None]
+        rng_l = np.random.default_rng(seed)
+        ridx = np.array([rng_l.choice(Nr, p=pwt[i])
+                         for i in range(len(idxs))])
+        rows = np.arange(len(idxs))
+        pdraws, ddraws = pdr[rows, ridx], ddr[rows, ridx]
+        adraws, rdraws = adr[rows, ridx], rdr[rows, ridx]
+
+    samples = np.vstack([samples, adraws[None], rdraws[None],
+                         pdraws[None], ddraws[None]])
+    labels = labels + ["Av", "Rv", "Parallax", "Distance"]
+
+    fig, axes = cornerplot(samples, labels=labels, weights=weights,
+                           span=span, quantiles=quantiles, truths=truths,
+                           fig=fig, color=color, smooth=smooth, bins=bins,
+                           show_titles=show_titles, title_fmt=title_fmt,
+                           **kwargs)
+    # Parallax-measurement overlay (reference plotting.py:467-480).
+    if parallax is not None and parallax_err is not None:
+        i = labels.index("Parallax")
+        ax = axes[i, i]
+        xg = np.linspace(*ax.get_xlim(), 256)
+        pdf = np.exp(-0.5 * ((xg - parallax) / parallax_err) ** 2)
+        ymax = ax.get_ylim()[1]
+        ax.fill_between(xg, pdf * ymax / max(pdf.max(), 1e-300),
+                        color=pcolor, alpha=0.3)
+    return fig, axes
 
 
-__all__ = ["cornerplot", "dist_vs_red", "posterior_predictive",
-           "photometric_offsets", "photometric_offsets_2d", "_hist2d"]
+__all__ = ["cornerplot", "cornerplot_fit", "dist_vs_red",
+           "posterior_predictive", "photometric_offsets",
+           "photometric_offsets_2d", "_hist2d"]

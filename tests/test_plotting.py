@@ -66,23 +66,71 @@ def test_posterior_predictive():
 
 def test_photometric_offsets_plots():
     models, idxs, reds, dreds, dists, nf = _posterior_inputs()
-    n_obj = 30
-    idxs = rng.integers(0, len(models), (n_obj, 16))
-    reds = rng.uniform(0.1, 1.0, (n_obj, 16))
-    dreds = rng.uniform(2.8, 3.8, (n_obj, 16))
-    dists = rng.uniform(0.8, 1.4, (n_obj, 16))
+    n_obj, n_samp = 30, 16
+    idxs = rng.integers(0, len(models), (n_obj, n_samp))
+    reds = rng.uniform(0.1, 1.0, (n_obj, n_samp))
+    dreds = rng.uniform(2.8, 3.8, (n_obj, n_samp))
+    dists = rng.uniform(0.8, 1.4, (n_obj, n_samp))
     phot = 10 ** (-0.4 * models[idxs[:, 0], :, 0]) / dists[:, :1] ** 2
     err = phot * 0.05
     mask = np.ones_like(phot, bool)
-    x = rng.uniform(10, 16, n_obj)
-    fig, ax = plt.subplots()
-    _, (centers, med) = plotting.photometric_offsets(
-        phot, err, mask, models, idxs, reds, dreds, dists, x, bins=8,
-        ax=ax)
-    assert centers.shape == (8,)
+    # Per-band panels of Delta mag vs observed magnitude (default x).
+    fig, axes = plotting.photometric_offsets(
+        phot, err, mask, models, idxs, reds, dreds, dists, bins=12)
+    assert np.asarray(axes).size >= nf
     plt.close(fig)
-    fig, ax = plt.subplots()
-    plotting.photometric_offsets_2d(
-        phot, err, mask, models, idxs, reds, dreds, dists, x,
-        rng.uniform(0, 1, n_obj), bins=6, ax=ax)
+    # Per-band 2-D weighted-median Delta-mag maps.
+    fig, axes = plotting.photometric_offsets_2d(
+        phot, err, mask, models, idxs, reds, dreds, dists,
+        x=rng.uniform(10, 16, n_obj), y=rng.uniform(0, 1, n_obj),
+        bins=5, plot_thresh=1)
+    assert np.asarray(axes).size >= nf
+    plt.close(fig)
+
+
+def test_plots_from_fit_outputs():
+    """cornerplot_fit / offsets plots driven directly by a
+    BruteForce.fit output dict (VERDICT round-1 item 8)."""
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from test_fitting import MC, LABELS, LMASK, make_star, COORD, NFILT
+    from brutus_tpu.fitting import BruteForce
+
+    n = 4
+    data = np.zeros((n, NFILT))
+    errs = np.zeros((n, NFILT))
+    for i in range(n):
+        data[i], errs[i] = make_star(MC, 20 + 9 * i, 0.4, 3.3, 1.2)
+    mask = np.ones((n, NFILT), bool)
+    bf = BruteForce(MC, LABELS, LMASK)
+    out = bf.fit(data, errs, mask, data_coords=np.tile(COORD, (n, 1)),
+                 parallax=np.full(n, 1 / 1.2),
+                 parallax_err=np.full(n, 0.05 / 1.2),
+                 Nmc_prior=8, Ndraws=48, batch_size=4, n_sel_max=32,
+                 verbose=False, return_results=True)
+
+    # (a) corner plot from SAVED draws + parallax overlay.
+    star = 0
+    fig, axes = plotting.cornerplot_fit(
+        out["model_idx"][star],
+        (out["dist"][star], out["red"][star], out["dred"][star]),
+        LABELS, parallax=1 / 1.2, parallax_err=0.05 / 1.2,
+        coord=COORD, bins=16)
+    nlab = len([x for x in LABELS.dtype.names if x != "agewt"]) + 4
+    assert np.asarray(axes).shape == (nlab, nlab)
+    plt.close(fig)
+
+    # (b) corner plot REGENERATING draws from (scale, av, rv, cov).
+    fig, axes = plotting.cornerplot_fit(
+        out["model_idx"][star],
+        (out["scale"][star], out["av"][star], out["rv"][star],
+         out["cov_sar"][star]),
+        LABELS, parallax=1 / 1.2, parallax_err=0.05 / 1.2,
+        coord=COORD, Nr=32, bins=16)
+    plt.close(fig)
+
+    # (c) photometric offsets from the fit draws.
+    fig, _ = plotting.photometric_offsets(
+        data, errs, mask, MC, out["model_idx"], out["red"],
+        out["dred"], out["dist"], bins=10)
     plt.close(fig)
