@@ -232,6 +232,10 @@ def main():
         "value": round(stars_per_sec, 3),
         "unit": "stars/s",
         "vs_baseline": round(stars_per_sec * ref_secs_per_star, 2),
+        # On-hardware accuracy artifact: fraction of stars whose
+        # injected true model is recovered (posterior draws for the
+        # full fit; likelihood argmax for --loglike-only).
+        "true_model_hit_rate": round(float(hit), 4),
     }
     result.update(verify_info)
     print(json.dumps(result))
