@@ -57,7 +57,7 @@ def main():
     ap.add_argument("--nsel", type=int, default=4096)
     ap.add_argument("--engine", choices=["xla", "fused"], default="fused",
                     help="likelihood engine: fused Pallas or plain XLA")
-    ap.add_argument("--tile", type=int, default=1024)
+    ap.add_argument("--tile", type=int, default=512)
     ap.add_argument("--loglike-only", action="store_true",
                     help="benchmark the likelihood stage alone")
     ap.add_argument("--verify", action="store_true",

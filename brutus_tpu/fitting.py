@@ -232,7 +232,7 @@ class BruteForce:
             logl_initthresh=5e-3, mag_max=50.0, merr_max=0.25,
             save_dar_draws=True, running_io=True, verbose=True,
             batch_size=16, n_sel_max=4096, seed=0, resume=False,
-            return_results=False, mesh=None, engine=None, tile=1024,
+            return_results=False, mesh=None, engine=None, tile=512,
             _yield_batches=False):
         """Fit every star against the grid and write the results file.
 

@@ -74,12 +74,19 @@ def _make_kernel(cfg: FitConfig):
     ln_init_thresh = math.log(cfg.init_thresh)
 
     def fsum(x):
-        """Filter-axis reduction: (G, F, T) -> (G, 1, T)."""
-        return jnp.sum(x, axis=1, keepdims=True)
+        """Filter-axis (outer-axis) reduction: (F, G, T) -> (G, T).
+
+        F is the OUTER dim, so this lowers to F-1 full-tile adds; the
+        result rides the full 8-sublane x T-lane layout, so every
+        per-model row op downstream uses the whole VPU.  (The previous
+        (G, 1, T) row layout used 1/8 of the sublanes and the row ops
+        dominated the kernel.)
+        """
+        return jnp.sum(x, axis=0)
 
     def lmax(x):
-        """Per-star max over the model tile: (G, 1, T) -> (G, 1, 1)."""
-        return jnp.max(x, axis=2, keepdims=True)
+        """Per-star max over the model tile: (G, T) -> (G, 1)."""
+        return jnp.max(x, axis=1, keepdims=True)
 
     def kernel(flux_ref, wtf_ref, mags_ref, wtm_ref, coef_ref,
                lnl_ref, chi2_ref, scale_ref, av_ref, rv_ref,
@@ -87,39 +94,45 @@ def _make_kernel(cfg: FitConfig):
         # Grid: (num_tiles, B // GROUP); one program = 8 stars x 1 tile.
         # The coefficient block keeps the same index across the inner
         # group steps, so the grid streams from HBM exactly once.
-        mag0 = coef_ref[0][None]        # (1, F, T)
-        r0 = coef_ref[1][None]
-        dr = coef_ref[2][None]
+        # Layout: models ride the 128-wide lanes, the 8 stars of the
+        # group ride the sublanes, and the F filters ride the outer dim.
+        mag0 = coef_ref[0][:, None, :]  # (F, 1, T)
+        r0 = coef_ref[1][:, None, :]
+        dr = coef_ref[2][:, None, :]
 
-        flux = flux_ref[:][:, :, None]  # (G, F, 1)
-        wtf = wtf_ref[:][:, :, None]
-        mags = mags_ref[:][:, :, None]
-        wtm = wtm_ref[:][:, :, None]
+        flux = flux_ref[0][:, :, None]  # (F, G, 1)
+        wtf = wtf_ref[0][:, :, None]
+        mags = mags_ref[0][:, :, None]
+        wtm = wtm_ref[0][:, :, None]
 
         # Iteration-invariant intrinsic fluxes (hoisted out of `mle`).
-        m_int = jnp.exp(FLUXFAC * mag0)
+        m_int = jnp.exp(FLUXFAC * mag0)             # (F, 1, T)
 
         def mle(av, rv, want_icov=False):
-            """Flux-space MLE re-expansion (fitting.py:430-576)."""
-            rvec_m = r0 + rv * dr
-            m = m_int * jnp.exp(FLUXFAC * (av * rvec_m))
+            """Flux-space MLE re-expansion (fitting.py:430-576).
+
+            av, rv : (G, T) rows; F-space tensors are (F, G, T).
+            """
+            rvec_m = r0 + rv[None] * dr
+            m = m_int * jnp.exp(FLUXFAC * (av[None] * rvec_m))
             rvec = FLUXFAC * m * rvec_m
             drvec = FLUXFAC * m * dr
             s_num = fsum(m * flux * wtf)
             # Floor the normal matrix: m**2 underflows f32 for strongly
             # extincted faint models and 0/0 would poison chi2 with NaN.
             s_den = jnp.maximum(fsum(m * m * wtf), 1e-30)
-            scale = jnp.maximum(s_num / s_den, cfg.scale_min)
-            ms = m * scale
+            scale = jnp.maximum(s_num / s_den, cfg.scale_min)   # (G, T)
+            ms = m * scale[None]
             resid = flux - ms
             if not want_icov:
-                return ms, rvec * scale, drvec * scale, scale, resid
-            red_s = (m - m_int) * scale
+                return ms, rvec * scale[None], drvec * scale[None], \
+                    scale, resid
+            red_s = (m - m_int) * scale[None]
             t = ms - resid
             sa = fsum(rvec * t * wtf)
             sr = fsum(drvec * t * wtf)
-            rvec_s = rvec * scale
-            drvec_s = drvec * scale
+            rvec_s = rvec * scale[None]
+            drvec_s = drvec * scale[None]
             ar = fsum(drvec_s * (red_s - resid) * wtf)
             a_den = fsum(rvec_s * rvec_s * wtf) + avvi + a_reg
             r_den = fsum(drvec_s * drvec_s * wtf) + rvvi + r_reg
@@ -129,9 +142,9 @@ def _make_kernel(cfg: FitConfig):
         # ---- phase A seed: direct 3x3 WLS solve of (mu, Av, Av*Rv) ----
         # (the same closed-form seed as ops.optimize.direct_mag_init)
         if cfg.mag_direct_init:
-            resid0 = mags - mag0                      # (G, F, T)
-            a00 = jnp.sum(wtm, axis=1, keepdims=True)  # (G, 1, 1)
-            a01 = fsum(r0 * wtm)
+            resid0 = mags - mag0                      # (F, G, T)
+            a00 = jnp.sum(wtm, axis=0)                # (G, 1)
+            a01 = fsum(r0 * wtm)                      # (G, T)
             a02 = fsum(dr * wtm)
             a11 = fsum(r0 * r0 * wtm) + avvi
             a12 = fsum(r0 * dr * wtm)
@@ -156,7 +169,7 @@ def _make_kernel(cfg: FitConfig):
                            rvm)
             rv = jnp.clip(rv, rvmin, rvmax)
         else:
-            one = jnp.ones((GROUP, 1, mag0.shape[2]), mag0.dtype)
+            one = jnp.ones((GROUP, mag0.shape[2]), mag0.dtype)
             av = cfg.av0 * one
             rv = cfg.rv0 * one
 
@@ -165,11 +178,11 @@ def _make_kernel(cfg: FitConfig):
         # every iteration (fitting.py:173-237); only the stopping rule
         # differs (fixed budget instead of the global tolerance test,
         # which would cost a vector->scalar sync per iteration).
-        rvec = r0 + rv * dr
-        resid = mags - (mag0 + av * rvec)
+        rvec = r0 + rv[None] * dr                       # (F, G, T)
+        resid = mags - (mag0 + av[None] * rvec)
 
-        s_den_m = jnp.sum(wtm, axis=1, keepdims=True)   # (G, 1, 1)
-        rp_den = fsum(dr * dr * wtm)
+        s_den_m = jnp.sum(wtm, axis=0)                  # (G, 1)
+        rp_den = fsum(dr * dr * wtm)                    # (G, T)
         srp = fsum(dr * wtm)
 
         for _ in range(cfg.kernel_mag_iters):
@@ -180,7 +193,7 @@ def _make_kernel(cfg: FitConfig):
             dav = (s_den_m * ra - sa * rs) / (s_den_m * a_den - sa * sa)
             dav = jnp.clip(dav, avmin - av, avmax - av)
             av = av + dav
-            resid = resid - dav * rvec
+            resid = resid - dav[None] * rvec
 
             r_den = rp_den * av * av + rvvi
             sr = srp * av
@@ -189,8 +202,8 @@ def _make_kernel(cfg: FitConfig):
             drv = (s_den_m * rr - sr * rs) / (s_den_m * r_den - sr * sr)
             drv = jnp.clip(drv, rvmin - rv, rvmax - rv)
             rv = rv + drv
-            resid = resid - (av * drv) * dr
-            rvec = rvec + drv * dr
+            resid = resid - (av * drv)[None] * dr
+            rvec = rvec + drv[None] * dr
 
         # ---- phase B: flux-space damped polish, fixed unrolled budget.
         # The freeze set is the tile-local equivalent of the reference's
@@ -230,17 +243,17 @@ def _make_kernel(cfg: FitConfig):
          s_den, a_den, r_den, sa, sr, ar) = mle(av, rv, want_icov=True)
         chi2 = fsum(residf * residf * wtf)
 
-        lnl_ref[:] = -0.5 * chi2[:, 0, :]
-        chi2_ref[:] = chi2[:, 0, :]
-        scale_ref[:] = scale[:, 0, :]
-        av_ref[:] = av[:, 0, :]
-        rv_ref[:] = rv[:, 0, :]
-        sden_ref[:] = s_den[:, 0, :]
-        aden_ref[:] = a_den[:, 0, :]
-        rden_ref[:] = r_den[:, 0, :]
-        sa_ref[:] = sa[:, 0, :]
-        sr_ref[:] = sr[:, 0, :]
-        ar_ref[:] = ar[:, 0, :]
+        lnl_ref[:] = -0.5 * chi2
+        chi2_ref[:] = chi2
+        scale_ref[:] = scale
+        av_ref[:] = av
+        rv_ref[:] = rv
+        sden_ref[:] = s_den
+        aden_ref[:] = a_den
+        rden_ref[:] = r_den
+        sa_ref[:] = sa
+        sr_ref[:] = sr
+        ar_ref[:] = ar
 
     return kernel
 
@@ -304,7 +317,7 @@ def icov_from_parts(parts):
 
 def loglike_grid_fused(flux, fluxerr, mask, coeffs_t,
                        parallax=None, parallax_err=None,
-                       cfg: FitConfig = FitConfig(), tile=1024,
+                       cfg: FitConfig = FitConfig(), tile=512,
                        interpret=None, n_real=None):
     """Batched per-star grid log-likelihood via the fused Pallas kernel.
 
@@ -352,7 +365,13 @@ def loglike_grid_fused(flux, fluxerr, mask, coeffs_t,
         flux, fluxerr, mask, cfg)
 
     call = _make_call(cfg, Bp, F, M, tile, str(dtype), interpret)
-    outs = call(flux_p, wt_flux, mags, wt_mag, coeffs_t)
+    # Star data rides the kernel as (n_groups, F, GROUP): filters outer,
+    # the group's 8 stars innermost (matching the kernel's (F, G, T)
+    # work layout and the TPU block-tiling constraint that trailing
+    # block dims cover the full array dims).
+    grp = lambda x: x.reshape(Bp // GROUP, GROUP, F).swapaxes(1, 2)
+    outs = call(grp(flux_p), grp(wt_flux), grp(mags), grp(wt_mag),
+                coeffs_t)
     if Bp != B:
         outs = [o[:B] for o in outs]
         mask, ndim, tot_var = mask[:B], ndim[:B], tot_var[:B]
@@ -366,7 +385,7 @@ def _make_call(cfg, B, F, M, tile, dtype, interpret):
     dispatch (~0.65 s each on the remote-compile backend)."""
     num_tiles = M // tile
     n_groups = B // GROUP
-    star_spec = pl.BlockSpec((GROUP, F), lambda t, g: (g, 0),
+    star_spec = pl.BlockSpec((1, F, GROUP), lambda t, g: (g, 0, 0),
                              memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct((B, M), dtype)] * 11
     out_specs = [pl.BlockSpec((GROUP, tile), lambda t, g: (g, t),
