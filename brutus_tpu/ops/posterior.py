@@ -82,7 +82,9 @@ def _psd_repair(icov, cov, scale, valid, cfg: PosteriorConfig):
         diag = jnp.stack([count / sfrac ** 2 * s1,
                           count / width ** 2 * s2,
                           count / width ** 2 * s3], axis=-1)
-        add = jax.vmap(jnp.diag)(diag)
+        # eye-broadcast instead of vmap(jnp.diag): the latter lowers to
+        # a per-matrix scatter and dominated the repair's runtime.
+        add = jnp.eye(3, dtype=cov.dtype) * diag[..., None, :]
         icov = jnp.where(not_psd[:, None, None], icov + add, icov)
         cov = jnp.where(not_psd[:, None, None], inverse3_stable(icov), cov)
         return icov, cov
@@ -157,11 +159,24 @@ def lnpost_grid(key, results, lnprior_grid, coord,
     if K1 and K1 < M:
         _, pre_idx = jax.lax.approx_max_k(lnprob, K1,
                                           recall_target=0.95)
-        sub = lambda x: x[pre_idx] if x is not None else None
-        lnlike, scale, av = sub(lnlike), sub(scale), sub(av)
-        lnprob = sub(lnprob)
-        lnprior_grid = sub(lnprior_grid)
-        feh_s, loga_s = sub(feh), sub(loga)
+        # Gathers dominate this stage on TPU: pack the needed fields
+        # into one (M, C) matrix and fetch contiguous rows ONCE instead
+        # of issuing one scattered gather per field.
+        fields = [lnlike, scale, av, lnprob, lnprior_grid.astype(dtype)]
+        if feh is not None:
+            fields.append(feh)
+        if loga is not None:
+            fields.append(loga)
+        packed = jnp.stack(fields, axis=-1)[pre_idx]
+        lnlike, scale, av, lnprob, lnprior_grid = (
+            packed[:, 0], packed[:, 1], packed[:, 2], packed[:, 3],
+            packed[:, 4])
+        c = 5
+        feh_s = loga_s = None
+        if feh is not None:
+            feh_s, c = packed[:, c], c + 1
+        if loga is not None:
+            loga_s = packed[:, c]
     else:
         pre_idx = None
         feh_s, loga_s = feh, loga
@@ -207,17 +222,23 @@ def lnpost_grid(key, results, lnprior_grid, coord,
     lnp_sel = jnp.where(valid, lnp_sel, NEG_BIG)
     scale_k, av_k = take_local(scale), take_local(av)
     # Fields the prior stage never read are gathered here for the first
-    # time, by global index.
-    take_g = lambda x: x[sel_idx]
-    rv_k = take_g(rv)
-    chi2_k = take_g(chi2)
+    # time, by global index — packed into one row gather (see above).
+    from .pallas_loglike import icov_from_parts
     if icov_parts is not None:
-        from .pallas_loglike import icov_from_parts
-        icov_k = icov_from_parts(tuple(take_g(p) for p in icov_parts))
+        packed_k = jnp.stack((rv, chi2) + tuple(icov_parts),
+                             axis=-1)[sel_idx]
+        rv_k, chi2_k = packed_k[:, 0], packed_k[:, 1]
+        icov_k = icov_from_parts(tuple(packed_k[:, 2 + i]
+                                       for i in range(6)))
     else:
-        icov_k = take_g(icov)
-    feh_k = take_g(feh) if feh is not None else None
-    loga_k = take_g(loga) if loga is not None else None
+        packed_k = jnp.stack([rv, chi2], axis=-1)[sel_idx]
+        rv_k, chi2_k = packed_k[:, 0], packed_k[:, 1]
+        icov_k = icov[sel_idx]
+    if K == score.shape[0]:
+        feh_k, loga_k = feh_s, loga_s    # already gathered by prefilter
+    else:
+        feh_k = feh[sel_idx] if feh is not None else None
+        loga_k = loga[sel_idx] if loga is not None else None
 
     # --- covariances + PSD repair (fitting.py:1039-1065) ---
     # Equilibrated inversion: the raw float32 adjugate of these severely
