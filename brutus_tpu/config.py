@@ -90,6 +90,16 @@ class FitConfig:
     kernel_mag_iters: int = 6
     kernel_flux_iters: int = 8
 
+    # Two-stage funnel (fused engine): a cheap screening kernel scores
+    # every model with a direct magnitude-space 3x3 WLS solve (+
+    # parallax chi2 — the reference's init-cull ranking quantity,
+    # fitting.py:743-768), and the full two-phase optimization then
+    # runs only on the top `screen_k` models per star.  ~95% of the
+    # optimizer FLOPs (and ALL full-grid posterior gathers) disappear;
+    # models outside the shortlist could never have survived the
+    # posterior's relative-weight culls.  0 disables (dense fit).
+    screen_k: int = 16384
+
     @property
     def mtol(self):
         """Mag-phase tolerance, `2.5 * ltol` (fitting.py:732)."""

@@ -62,7 +62,7 @@ GROUP = 8  # stars per program (sublane width of the row state)
 
 
 @lru_cache(maxsize=32)
-def _make_kernel(cfg: FitConfig):
+def _make_kernel(cfg: FitConfig, per_star=False):
     avm, av_sig = cfg.av_gauss
     rvm, rv_sig = cfg.rv_gauss
     avvi = 1.0 / av_sig ** 2
@@ -96,9 +96,17 @@ def _make_kernel(cfg: FitConfig):
         # group steps, so the grid streams from HBM exactly once.
         # Layout: models ride the 128-wide lanes, the 8 stars of the
         # group ride the sublanes, and the F filters ride the outer dim.
-        mag0 = coef_ref[0][:, None, :]  # (F, 1, T)
-        r0 = coef_ref[1][:, None, :]
-        dr = coef_ref[2][:, None, :]
+        if per_star:
+            # Screened (funnel) mode: each star has its own gathered
+            # model shortlist, so the coefficient block carries a GROUP
+            # axis and broadcasts nowhere.
+            mag0 = coef_ref[0]          # (F, G, T)
+            r0 = coef_ref[1]
+            dr = coef_ref[2]
+        else:
+            mag0 = coef_ref[0][:, None, :]  # (F, 1, T)
+            r0 = coef_ref[1][:, None, :]
+            dr = coef_ref[2][:, None, :]
 
         flux = flux_ref[0][:, :, None]  # (F, G, 1)
         wtf = wtf_ref[0][:, :, None]
@@ -258,6 +266,107 @@ def _make_kernel(cfg: FitConfig):
     return kernel
 
 
+@lru_cache(maxsize=32)
+def _make_screen_kernel(cfg: FitConfig):
+    """Cheap magnitude-space screening pass over the full grid.
+
+    Computes, per (star, model), the chi2 of the clamped direct 3x3
+    weighted least-squares solution of `(mu-offset, Av, Av*Rv)` plus the
+    parallax chi2 at the implied scale — the same quantity the
+    reference's init-threshold cull ranks on (`brutus/fitting.py:743-768`
+    culls on the post-magnitude-phase likelihood with an optional
+    parallax term).  ~5% of the full kernel's FLOPs; the top `screen_k`
+    models per star then get the full two-phase optimization
+    (`loglike_grid_screened`).
+    """
+    avm, av_sig = cfg.av_gauss
+    rvm, _ = cfg.rv_gauss
+    avvi = 1.0 / av_sig ** 2
+    avmin, avmax = cfg.avlim
+    rvmin, rvmax = cfg.rvlim
+
+    def fsum(x):
+        return jnp.sum(x, axis=0)
+
+    def kernel(mags_ref, wtm_ref, plx_ref, plxw_ref, maskrow_ref,
+               coef_ref, score_ref):
+        mag0 = coef_ref[0][:, None, :]      # (F, 1, T)
+        r0 = coef_ref[1][:, None, :]
+        dr = coef_ref[2][:, None, :]
+        mags = mags_ref[0][:, :, None]      # (F, G, 1)
+        wtm = wtm_ref[0][:, :, None]
+        plx = plx_ref[0]                    # (G, 1)
+        plxw = plxw_ref[0]
+
+        resid0 = mags - mag0                # (F, G, T)
+        a00 = jnp.sum(wtm, axis=0)          # (G, 1)
+        a01 = fsum(r0 * wtm)                # (G, T)
+        a02 = fsum(dr * wtm)
+        a11 = fsum(r0 * r0 * wtm) + avvi
+        a12 = fsum(r0 * dr * wtm)
+        a22 = fsum(dr * dr * wtm)
+        b0 = fsum(resid0 * wtm)
+        b1 = fsum(resid0 * r0 * wtm) + avm * avvi
+        b2 = fsum(resid0 * dr * wtm)
+        det = (a00 * (a11 * a22 - a12 * a12)
+               - a01 * (a01 * a22 - a12 * a02)
+               + a02 * (a01 * a12 - a11 * a02))
+        det1 = (a00 * (b1 * a22 - a12 * b2)
+                - b0 * (a01 * a22 - a12 * a02)
+                + a02 * (a01 * b2 - b1 * a02))
+        det2 = (a00 * (a11 * b2 - b1 * a12)
+                - a01 * (a01 * b2 - b1 * a02)
+                + b0 * (a01 * a12 - a11 * a02))
+        safe_det = jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+        av = jnp.clip(det1 / safe_det, avmin, avmax)
+        avrv = det2 / safe_det
+        rv = jnp.where(jnp.abs(av) > 1e-10,
+                       avrv / jnp.where(jnp.abs(av) > 1e-10, av, 1.0),
+                       rvm)
+        rv = jnp.clip(rv, rvmin, rvmax)
+        avrv = av * rv
+        # Re-solve the (linear, unbounded) mu offset at the clamped
+        # (Av, Av*Rv), then score on the explicit residuals.
+        u = (b0 - av * a01 - avrv * a02) / a00
+        r = resid0 - u[None] - av[None] * r0 - avrv[None] * dr
+        chi2 = fsum(r * r * wtm)
+        # Parallax chi2 at the implied flux scale s = 10**(-0.4 u)
+        # (the reference's optional init-cull parallax clip,
+        # fitting.py:752-768); plxw is 0 when no parallax is given.
+        par = jnp.exp(-0.2 * LN10 * u)
+        chi2 = chi2 + (par - plx) ** 2 * plxw
+        # maskrow kills the tile-padding models (-1e30 on padded lanes);
+        # kept 2-D ((1, T) broadcast) — 1-D intermediates trip Mosaic.
+        score_ref[:] = -0.5 * chi2 + maskrow_ref[:, :]
+
+    return kernel
+
+
+@lru_cache(maxsize=32)
+def _make_screen_call(cfg, B, F, M, tile, dtype, interpret):
+    num_tiles = M // tile
+    n_groups = B // GROUP
+    star_spec = pl.BlockSpec((1, F, GROUP), lambda t, g: (g, 0, 0),
+                             memory_space=pltpu.VMEM)
+    scal_spec = pl.BlockSpec((1, GROUP, 1), lambda t, g: (g, 0, 0),
+                             memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((1, tile), lambda t, g: (0, t),
+                             memory_space=pltpu.VMEM)
+    coef_spec = pl.BlockSpec((3, F, tile), lambda t, g: (0, 0, t),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((GROUP, tile), lambda t, g: (g, t),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_screen_kernel(cfg),
+        grid=(num_tiles, n_groups),
+        in_specs=[star_spec, star_spec, scal_spec, scal_spec, mask_spec,
+                  coef_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, M), dtype),
+        interpret=interpret,
+    )
+
+
 def prepare_coeffs(mag_coeffs, tile=2048):
     """Transpose `(M, F, 3)` -> `(3, F, M_padded)` with faint padding."""
     import numpy as np
@@ -277,15 +386,20 @@ _prep = partial(jax.jit, static_argnames=("cfg",))(prepare_star_data)
 
 
 @partial(jax.jit, static_argnames=("cfg", "n_real"))
-def _post(outs, mask, ndim, tot_var, cfg: FitConfig, n_real=None):
+def _post(outs, mask, ndim, tot_var, cfg: FitConfig, n_real=None,
+          bad=None):
     (lnl, chi2, scale, av, rv, s_den, a_den, r_den, sa, sr, ar) = outs
     M = lnl.shape[1]
     # Tile-padding models are *not* inherently bad fits (the free flux
     # scale absorbs any overall magnitude offset), so exclude them
-    # explicitly.
+    # explicitly — contiguous trailing padding (dense path) or by
+    # boolean mask (funnel path: padding scattered inside slabs).
     if n_real is not None and n_real < M:
         lnl = lnl.at[:, n_real:].set(-1e30)
         chi2 = chi2.at[:, n_real:].set(1e30)
+    if bad is not None:
+        lnl = jnp.where(bad, -1e30, lnl)
+        chi2 = jnp.where(bad, 1e30, chi2)
 
     # Gaussian constant + dimensionality prior (per star).
     safe_var = jnp.where(mask, tot_var, 1.0)
@@ -379,7 +493,7 @@ def loglike_grid_fused(flux, fluxerr, mask, coeffs_t,
 
 
 @lru_cache(maxsize=32)
-def _make_call(cfg, B, F, M, tile, dtype, interpret):
+def _make_call(cfg, B, F, M, tile, dtype, interpret, per_star=False):
     """Cached `pallas_call` callable — a fresh kernel closure per call
     would miss the trace cache and re-lower the Mosaic kernel every
     dispatch (~0.65 s each on the remote-compile backend)."""
@@ -390,11 +504,18 @@ def _make_call(cfg, B, F, M, tile, dtype, interpret):
     out_shape = [jax.ShapeDtypeStruct((B, M), dtype)] * 11
     out_specs = [pl.BlockSpec((GROUP, tile), lambda t, g: (g, t),
                               memory_space=pltpu.VMEM)] * 11
-    in_specs = [star_spec] * 4 + [
-        pl.BlockSpec((3, F, tile), lambda t, g: (0, 0, t),
-                     memory_space=pltpu.VMEM)]
+    if per_star:
+        # Funnel stage 2: coefficients are per-star shortlists,
+        # (3, F, B, M) with a GROUP slice along the star axis.
+        coef_spec = pl.BlockSpec((3, F, GROUP, tile),
+                                 lambda t, g: (0, 0, g, t),
+                                 memory_space=pltpu.VMEM)
+    else:
+        coef_spec = pl.BlockSpec((3, F, tile), lambda t, g: (0, 0, t),
+                                 memory_space=pltpu.VMEM)
+    in_specs = [star_spec] * 4 + [coef_spec]
     return pl.pallas_call(
-        _make_kernel(cfg),
+        _make_kernel(cfg, per_star),
         grid=(num_tiles, n_groups),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -403,4 +524,247 @@ def _make_call(cfg, B, F, M, tile, dtype, interpret):
     )
 
 
-__all__ = ["loglike_grid_fused", "prepare_coeffs"]
+# ---------------------------------------------------------------------------
+# Two-stage funnel: screen all models cheaply, fully optimize a shortlist
+# ---------------------------------------------------------------------------
+
+def prepare_screen(mag_coeffs, aux=None, tile=512):
+    """Device tables for the screened (funnel) likelihood path.
+
+    Parameters
+    ----------
+    mag_coeffs : (M, F, 3) grid coefficients.
+    aux : optional dict of name -> (M,) float arrays (grid log-prior,
+        feh, loga, ...) gathered alongside the coefficients at shortlist
+        selection — the posterior stage then needs NO full-grid gathers
+        at all.
+    tile : model-tile width (M is padded up to a multiple).
+
+    Returns
+    -------
+    (coeffs_t, packed, aux_names, n_real, maskrow): the transposed
+    `(3, F, Mp)` kernel input, the COLUMN-MAJOR `(3F + n_aux, Mp)`
+    slab-gather table (row `k*F + f` holds coefficient `k` of filter
+    `f`, so gathered slabs land directly in the stage-2 kernel's
+    `(3, F, B, P)` layout with a free reshape), the aux row order, the
+    real model count, and the `(1, Mp)` screening mask row (`-1e30` on
+    tile padding).
+    """
+    import numpy as np
+    coeffs_t, n_real = prepare_coeffs(mag_coeffs, tile)
+    Mp = coeffs_t.shape[-1]
+    mc = np.asarray(mag_coeffs, np.float32)
+    M, F, _ = mc.shape
+    rows = [np.ascontiguousarray(mc.transpose(2, 1, 0)).reshape(3 * F, M)]
+    names = []
+    if aux:
+        for k, v in aux.items():
+            names.append(k)
+            rows.append(np.asarray(v, np.float32).reshape(1, M))
+    packed = np.concatenate(rows, axis=0)
+    if Mp > M:
+        packed = np.concatenate(
+            [packed, np.zeros((packed.shape[0], Mp - M), np.float32)],
+            axis=1)
+    # DMA slab shapes must be sublane-aligned (multiple-of-8 rows).
+    pad_c = (-packed.shape[0]) % 8
+    if pad_c:
+        packed = np.concatenate(
+            [packed, np.zeros((pad_c, Mp), np.float32)])
+    maskrow = np.zeros((1, Mp), np.float32)
+    maskrow[0, n_real:] = -1e30
+    return (coeffs_t, jnp.asarray(packed), tuple(names), n_real,
+            jnp.asarray(maskrow))
+
+
+@partial(jax.jit, static_argnames=("nb", "block"))
+def _select_blocks(score, nb, block):
+    """Per-star top-`nb` score blocks of `block` models each.
+
+    Block-level selection (max score per block) instead of exact
+    model-level top-k: XLA's general gather runs at ~1 us per slice on
+    this TPU regardless of slice size, so per-model gathers of the
+    shortlist cost more than the entire screened fit.  Contiguous
+    `block`-wide slabs move through the DMA gather kernel at memory
+    bandwidth instead, and on real (label-ordered) grids the
+    high-likelihood models cluster into contiguous bands anyway, so
+    block selection *improves* effective recall at fixed P.
+    """
+    B, Mp = score.shape
+    bscore = jnp.max(score.reshape(B, Mp // block, block), axis=-1)
+    _, bidx = lax.top_k(bscore, nb)
+    bidx = bidx.astype(jnp.int32)
+    idx = (bidx[:, :, None] * block
+           + jnp.arange(block, dtype=jnp.int32)[None, None, :]
+           ).reshape(B, nb * block)
+    return bidx, idx
+
+
+@lru_cache(maxsize=32)
+def _make_gather_call(C, Mp, B, nb, block, interpret):
+    """DMA slab-gather kernel: `out[:, b, j*block:(j+1)*block] =
+    packed[:, bidx[b, j]*block : +block]`.
+
+    One program per star; each issues its `nb` HBM->HBM slab copies
+    through a ring of `NSEM` in-flight DMAs.  ~50x faster than XLA's
+    gather lowering for this access pattern.
+    """
+    NSEM = min(8, nb)
+    P = nb * block
+
+    def kernel(bidx_ref, src_ref, out_ref):
+        b = pl.program_id(0)
+
+        def body(sems):
+            def get_dma(j):
+                i = bidx_ref[b, j]
+                # 2-D (C, B*P) output: every slab is a lane-aligned
+                # (C, block) slice (a 3-D (C, B, P) layout would put B
+                # in the tiled sublane dim, where size-1 slices are
+                # illegal).
+                return pltpu.make_async_copy(
+                    src_ref.at[:, pl.ds(i * block, block)],
+                    out_ref.at[:, pl.ds(b * P + j * block, block)],
+                    sems.at[j % NSEM])
+
+            def issue(j, c):
+                @pl.when(j >= NSEM)
+                def _():
+                    get_dma(j - NSEM).wait()
+                get_dma(j).start()
+                return c
+
+            lax.fori_loop(0, nb, issue, 0)
+
+            def drain(j, c):
+                get_dma(j).wait()
+                return c
+
+            lax.fori_loop(max(nb - NSEM, 0), nb, drain, 0)
+
+        pl.run_scoped(body, pltpu.SemaphoreType.DMA((NSEM,)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((C, B * P), jnp.float32),
+        interpret=interpret,
+    )
+
+
+@jax.jit
+def _screen_parallax(parallax, parallax_err):
+    ok = (jnp.isfinite(parallax) & jnp.isfinite(parallax_err)
+          & (parallax_err > 0))
+    plx = jnp.where(ok, parallax, 0.0)
+    plxw = jnp.where(ok, 1.0 / jnp.where(ok, parallax_err, 1.0) ** 2, 0.0)
+    return plx, plxw
+
+
+@partial(jax.jit, static_argnames=("n_coef", "B"))
+def _unpack_gather(out, n_coef, B):
+    C, BP = out.shape
+    P = BP // B
+    F = n_coef // 3
+    out = out.reshape(C, B, P)
+    return out[:n_coef].reshape(3, F, B, P), out[n_coef:]
+
+
+def loglike_grid_screened(flux, fluxerr, mask, coeffs_t, packed, maskrow,
+                          n_real, parallax=None, parallax_err=None,
+                          cfg: FitConfig = FitConfig(), tile=512,
+                          screen_k=16384, screen_block=256,
+                          aux_names=(), interpret=None):
+    """Funnel likelihood: screen all M models, fully fit the top-P.
+
+    Stage 1 scores every model with a direct magnitude-space 3x3 WLS
+    solve (+ parallax chi2) — the ranking quantity of the reference's
+    init-threshold cull (`brutus/fitting.py:743-768`).  Stage 2 runs
+    the full two-phase kernel on the gathered per-star shortlists
+    (top `screen_k // screen_block` blocks of `screen_block`
+    contiguous models each — see `_select_blocks`), so ~98% of the
+    optimizer FLOPs are spent only on models that can actually survive
+    the posterior culls.
+
+    Returns the `loglike_grid_fused` dict with `(B, P)` fields plus
+    `global_idx` (the (B, P) shortlist -> grid index map) and `aux`
+    (dict of the gathered per-star columns from `prepare_screen`,
+    `(B, P)` each).
+    """
+    B, F = flux.shape
+    _, _, M = coeffs_t.shape
+    dtype = coeffs_t.dtype
+    flux = flux.astype(dtype)
+    fluxerr = fluxerr.astype(dtype)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    # Slab granularity must tile both the screening tiles and Mp, and
+    # (on hardware) be lane-aligned for the DMA slab copies.
+    block = min(screen_block, tile)
+    while tile % block:
+        block //= 2
+    if not interpret:
+        block = max(block, 128)
+    nb = max(1, min(screen_k // block, M // block))
+    P = nb * block
+    tile2 = tile
+    while P % tile2:
+        tile2 //= 2
+
+    Bp = -(-B // GROUP) * GROUP
+    if Bp != B:
+        pad = ((0, Bp - B), (0, 0))
+        flux = jnp.pad(flux, pad)
+        fluxerr = jnp.pad(fluxerr, pad, constant_values=1.0)
+        mask = jnp.pad(mask, pad, constant_values=False)
+
+    flux_p, wt_flux, mags, wt_mag, mask, ndim, tot_var = _prep(
+        flux, fluxerr, mask, cfg)
+    if parallax is None:
+        parallax = jnp.full((Bp,), jnp.nan, dtype)
+        parallax_err = jnp.full((Bp,), jnp.nan, dtype)
+    else:
+        parallax = jnp.pad(jnp.broadcast_to(
+            jnp.asarray(parallax, dtype), (B,)), (0, Bp - B),
+            constant_values=jnp.nan)
+        parallax_err = jnp.pad(jnp.broadcast_to(
+            jnp.asarray(parallax_err, dtype), (B,)), (0, Bp - B),
+            constant_values=jnp.nan)
+    plx, plxw = _screen_parallax(parallax, parallax_err)
+
+    grp = lambda x: x.reshape(Bp // GROUP, GROUP, F).swapaxes(1, 2)
+    vec = lambda x: x.reshape(Bp // GROUP, GROUP, 1)
+    screen = _make_screen_call(cfg, Bp, F, M, tile, str(dtype), interpret)
+    score = screen(grp(mags), grp(wt_mag), vec(plx), vec(plxw), maskrow,
+                   coeffs_t)
+
+    bidx, idx = _select_blocks(score, nb, block)
+    gather = _make_gather_call(packed.shape[0], M, Bp, nb, block,
+                               interpret)
+    coeffs2, aux = _unpack_gather(gather(bidx, packed), 3 * F, Bp)
+
+    call = _make_call(cfg, Bp, F, P, tile2, str(dtype), interpret,
+                      per_star=True)
+    outs = call(grp(flux_p), grp(wt_flux), grp(mags), grp(wt_mag), coeffs2)
+    if Bp != B:
+        outs = [o[:B] for o in outs]
+        mask, ndim, tot_var = mask[:B], ndim[:B], tot_var[:B]
+        idx, aux = idx[:B], aux[:, :B]
+    # Tile-padding models inside selected slabs are all-zero rows that
+    # can fit well; kill them by global index.
+    res = _post(tuple(outs), mask, ndim, tot_var, cfg, n_real=None,
+                bad=(idx >= n_real) if n_real < M else None)
+    res["global_idx"] = idx
+    res["aux"] = {name: aux[i] for i, name in enumerate(aux_names)}
+    return res
+
+
+__all__ = ["loglike_grid_fused", "loglike_grid_screened",
+           "prepare_coeffs", "prepare_screen"]

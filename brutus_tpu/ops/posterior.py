@@ -98,7 +98,7 @@ def _psd_repair(icov, cov, scale, valid, cfg: PosteriorConfig):
 def lnpost_grid(key, results, lnprior_grid, coord,
                 parallax=jnp.nan, parallax_err=jnp.nan,
                 feh=None, loga=None,
-                dust_profile=None,
+                dust_profile=None, global_idx=None,
                 cfg: PosteriorConfig = PosteriorConfig(),
                 gal_cfg: GalPriorConfig = GalPriorConfig(),
                 dust_cfg: DustPriorConfig = DustPriorConfig(),
@@ -115,6 +115,10 @@ def lnpost_grid(key, results, lnprior_grid, coord,
     feh, loga : optional (M,) model labels for the Galactic mixture priors.
     dust_profile : optional tuple `(av_dist, av_mean, av_std)` of the
         line-of-sight dust profile from `dustmap.Bayestar.query`.
+    global_idx : optional (M,) map from the local model axis to grid
+        indices (funnel path: `results` covers a per-star shortlist
+        from `loglike_grid_screened`); applied to the emitted
+        `model_idx`/`sel_idx` only — all internal gathers stay local.
 
     Returns
     -------
@@ -293,14 +297,15 @@ def lnpost_grid(key, results, lnprior_grid, coord,
     gat = lambda x: x[idxs]
     draw = lambda x: x[idxs, imc]
 
+    sel_out = global_idx[sel_idx] if global_idx is not None else sel_idx
     return dict(
-        model_idx=sel_idx[idxs],
+        model_idx=sel_out[idxs],
         scale=gat(scale_k), av=gat(av_k), rv=gat(rv_k),
         cov_sar=gat(cov_k), lnprob=gat(lnp_sel),
         dist=draw(dist_mc), red=draw(a_mc), dred=draw(r_mc),
         logwt=draw(lnp_mc),
         log_evidence=log_evid, chi2min=chi2min, ndim=ndim_out,
-        sel_idx=sel_idx, lnp_sel=lnp_sel, valid_sel=valid,
+        sel_idx=sel_out, lnp_sel=lnp_sel, valid_sel=valid,
     )
 
 
