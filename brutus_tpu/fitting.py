@@ -159,7 +159,57 @@ class BruteForce:
     def _build_step(self, fit_cfg, post_cfg, gal_cfg, dust_cfg,
                     apply_av_prior, apply_dlabels, device_models,
                     lnprior_dev, feh=None, loga=None, has_ext=False,
-                    engine="xla", tile=512, n_real=None):
+                    engine="xla", tile=512, n_real=None,
+                    screen_tables=None):
+
+        if engine == "fused_screen":
+            # Funnel path: screening kernel + DMA slab gather +
+            # shortlist fit (ops.pallas_loglike.loglike_grid_screened).
+            # The grid prior / labels arrive per star through the
+            # gathered aux columns; the posterior maps shortlist
+            # indices back to grid indices via `global_idx`.
+            from .ops.pallas_loglike import loglike_grid_screened
+            coeffs_t, packed, aux_names, n_real_s, maskrow = screen_tables
+
+            def post_step(key, res, gidx, aux, plx, plx_err, coord,
+                          dust_mean, dust_std, dust_dist, ext_row):
+                if ext_row is not None:
+                    res = dict(res)
+                    # (M,) per-star external label prior, gathered onto
+                    # the shortlist (element gather; only paid when
+                    # `lnprior_ext` is in use).
+                    res["lnlike"] = res["lnlike"] + ext_row[gidx]
+                profile = ((dust_dist, dust_mean, dust_std)
+                           if dust_mean is not None else None)
+                return lnpost_grid(
+                    key, res, aux["lnprior"], coord,
+                    parallax=plx, parallax_err=plx_err,
+                    feh=aux.get("feh"), loga=aux.get("loga"),
+                    dust_profile=profile, global_idx=gidx,
+                    cfg=post_cfg, gal_cfg=gal_cfg, dust_cfg=dust_cfg,
+                    apply_av_prior=apply_av_prior)
+
+            post_axes = (0, 0, 0, 0, 0, 0, 0,
+                         0 if apply_av_prior else None,
+                         0 if apply_av_prior else None,
+                         None,
+                         0 if has_ext else None)
+            post_batch = jax.jit(jax.vmap(post_step, in_axes=post_axes))
+
+            def step(keys, flux, err, mask, plx, plx_err, coord,
+                     dust_mean, dust_std, dust_dist, ext_lnl):
+                res = loglike_grid_screened(
+                    flux, err, mask, coeffs_t, packed, maskrow, n_real_s,
+                    parallax=plx, parallax_err=plx_err, cfg=fit_cfg,
+                    tile=tile, screen_k=fit_cfg.screen_k,
+                    aux_names=aux_names)
+                gidx = res.pop("global_idx")
+                aux = res.pop("aux")
+                return post_batch(keys, res, gidx, aux, plx, plx_err,
+                                  coord, dust_mean, dust_std, dust_dist,
+                                  ext_lnl)
+
+            return step
 
         def post_step(key, res, plx, plx_err, coord,
                       dust_mean, dust_std, dust_dist, ext_lnl):
@@ -233,7 +283,7 @@ class BruteForce:
             save_dar_draws=True, running_io=True, verbose=True,
             batch_size=16, n_sel_max=4096, seed=0, resume=False,
             return_results=False, mesh=None, engine=None, tile=512,
-            _yield_batches=False):
+            screen_k=16384, _yield_batches=False):
         """Fit every star against the grid and write the results file.
 
         Parity: reference `brutus/fitting.py:1426-1801` (same defaults,
@@ -269,7 +319,8 @@ class BruteForce:
                             rvlim=tuple(rvlim), rv_gauss=tuple(rv_gauss),
                             ltol=ltol, ltol_subthresh=ltol_subthresh,
                             init_thresh=logl_initthresh,
-                            dim_prior=logl_dim_prior)
+                            dim_prior=logl_dim_prior,
+                            screen_k=int(screen_k))
         post_cfg = PosteriorConfig(n_mc_prior=Nmc_prior,
                                    wt_thresh=wt_thresh,
                                    cdf_thresh=cdf_thresh, n_draws=Ndraws,
@@ -350,42 +401,69 @@ class BruteForce:
         batch_shard = None
         fused_devices = None
         if engine == "fused":
-            from .ops.pallas_loglike import prepare_coeffs
-            coeffs_t, n_real = prepare_coeffs(self.models, tile=tile)
-            pad = coeffs_t.shape[-1] - n_real
-
-            def padded(a, fill, dt):
-                a = np.asarray(a, dt)
-                return np.concatenate([a, np.full(pad, fill, dt)]) \
-                    if pad else a
-
-            dt = np.float32
-            lnprior_h = padded(lnprior, -1e30, dt)
-            feh_h = padded(feh_arr, 0.0, dt) if feh_arr is not None else None
-            loga_h = (padded(loga_arr, 9.0, dt)
-                      if loga_arr is not None else None)
-            if pad and ext_lnl is not None:
-                ext_lnl = np.concatenate(
-                    [ext_lnl, np.zeros((n_data, pad), ext_lnl.dtype)],
-                    axis=1)
-
+            use_screen = bool(fit_cfg.screen_k) and \
+                fit_cfg.screen_k < self.NMODEL
             fused_devices = (list(mesh.devices.flatten())
                              if mesh is not None else [None])
             steps = []
-            for dev in fused_devices:
-                put = (lambda x: x if dev is None
-                       else (jax.device_put(x, dev)
-                             if x is not None else None))
-                steps.append(self._build_step(
-                    fit_cfg, post_cfg, gal_cfg, dust_cfg,
-                    apply_av_prior, apply_dlabels,
-                    put(coeffs_t), put(jnp.asarray(lnprior_h)),
-                    feh=put(jnp.asarray(feh_h)) if feh_h is not None
-                    else None,
-                    loga=put(jnp.asarray(loga_h)) if loga_h is not None
-                    else None,
-                    has_ext=ext_lnl is not None,
-                    engine="fused", tile=tile, n_real=n_real))
+            if use_screen:
+                # Funnel: screening kernel + per-star shortlist fit.
+                # Grid prior / labels travel as gathered aux columns.
+                from .ops.pallas_loglike import prepare_screen
+                aux = {"lnprior": np.asarray(lnprior, np.float32)}
+                if feh_arr is not None:
+                    aux["feh"] = np.asarray(feh_arr, np.float32)
+                if loga_arr is not None:
+                    aux["loga"] = np.asarray(loga_arr, np.float32)
+                (coeffs_t, packed, aux_names, n_real,
+                 maskrow) = prepare_screen(self.models, aux=aux,
+                                           tile=tile)
+                for dev in fused_devices:
+                    put = (lambda x: x if dev is None
+                           else jax.device_put(x, dev))
+                    steps.append(self._build_step(
+                        fit_cfg, post_cfg, gal_cfg, dust_cfg,
+                        apply_av_prior, apply_dlabels, None, None,
+                        has_ext=ext_lnl is not None,
+                        engine="fused_screen", tile=tile,
+                        screen_tables=(put(coeffs_t), put(packed),
+                                       aux_names, n_real,
+                                       put(maskrow))))
+            if not use_screen:
+                from .ops.pallas_loglike import prepare_coeffs
+                coeffs_t, n_real = prepare_coeffs(self.models, tile=tile)
+                pad = coeffs_t.shape[-1] - n_real
+
+                def padded(a, fill, dt):
+                    a = np.asarray(a, dt)
+                    return np.concatenate([a, np.full(pad, fill, dt)]) \
+                        if pad else a
+
+                dt = np.float32
+                lnprior_h = padded(lnprior, -1e30, dt)
+                feh_h = (padded(feh_arr, 0.0, dt)
+                         if feh_arr is not None else None)
+                loga_h = (padded(loga_arr, 9.0, dt)
+                          if loga_arr is not None else None)
+                if pad and ext_lnl is not None:
+                    ext_lnl = np.concatenate(
+                        [ext_lnl, np.zeros((n_data, pad), ext_lnl.dtype)],
+                        axis=1)
+
+                for dev in fused_devices:
+                    put = (lambda x: x if dev is None
+                           else (jax.device_put(x, dev)
+                                 if x is not None else None))
+                    steps.append(self._build_step(
+                        fit_cfg, post_cfg, gal_cfg, dust_cfg,
+                        apply_av_prior, apply_dlabels,
+                        put(coeffs_t), put(jnp.asarray(lnprior_h)),
+                        feh=put(jnp.asarray(feh_h)) if feh_h is not None
+                        else None,
+                        loga=put(jnp.asarray(loga_h))
+                        if loga_h is not None else None,
+                        has_ext=ext_lnl is not None,
+                        engine="fused", tile=tile, n_real=n_real))
             if len(fused_devices) == 1:
                 step = steps[0]
             else:

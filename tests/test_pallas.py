@@ -93,6 +93,84 @@ def test_fused_masked_band_and_dim_prior():
     np.testing.assert_array_equal(lnl_f.argmax(1), lnl_r.argmax(1))
 
 
+def test_screened_funnel_matches_dense():
+    """Funnel (screen + DMA slab gather + shortlist fit) vs dense kernel."""
+    from brutus_tpu.ops.pallas_loglike import (prepare_screen,
+                                               loglike_grid_screened)
+    mc, flux, err, idx = _problem(n_model=2000, n_star=5)  # tile padding
+    mask = np.ones(flux.shape, bool)
+    cfg = FitConfig(dim_prior=False)
+    M = len(mc)
+    ct, packed, names, n_real, maskrow = prepare_screen(
+        mc, aux=dict(lnprior=np.zeros(M, np.float32),
+                     feh=rng.uniform(-2, 0.3, M).astype(np.float32)),
+        tile=128)
+    res = loglike_grid_screened(
+        jnp.asarray(flux), jnp.asarray(err), jnp.asarray(mask),
+        ct, packed, maskrow, n_real, cfg=cfg, tile=128,
+        screen_k=512, screen_block=64, aux_names=names, interpret=True)
+    dense = loglike_grid_fused(jnp.asarray(flux), jnp.asarray(err),
+                               jnp.asarray(mask), ct, cfg=cfg,
+                               tile=128, interpret=True, n_real=n_real)
+
+    lnl = np.asarray(res["lnlike"])
+    gidx = np.asarray(res["global_idx"])
+    lnl_d = np.asarray(dense["lnlike"])[:, :n_real]
+    rows = np.arange(len(flux))
+    w = gidx[rows, lnl.argmax(1)]
+    np.testing.assert_array_equal(w, lnl_d.argmax(1))
+    assert (w == idx).all()
+    # Shortlist values equal the dense values for the same models.
+    np.testing.assert_allclose(lnl[rows, lnl.argmax(1)],
+                               lnl_d[rows, w], rtol=1e-5, atol=1e-4)
+    # Every model within 10 nats of the max is on the shortlist
+    # (the posterior culls at ln(1e-3) ~ -6.9).
+    for b in rows:
+        good = np.flatnonzero(lnl_d[b] > lnl_d[b].max() - 10.0)
+        assert np.isin(good, gidx[b]).all()
+    # Gathered aux columns match their grid rows (aux rows sit after
+    # the 3F coefficient rows; trailing rows are alignment padding).
+    feh_row = 3 * flux.shape[1] + names.index("feh")
+    np.testing.assert_allclose(np.asarray(res["aux"]["feh"])[0],
+                               np.asarray(packed)[feh_row][gidx[0]])
+    # Tile-padding models inside slabs are dead.
+    pad_rows = gidx >= n_real
+    if pad_rows.any():
+        assert lnl[pad_rows].max() < -1e29
+
+
+def test_bruteforce_screened_engine():
+    """BruteForce engine='fused' + screen_k < M routes through the
+    funnel and matches the XLA engine posteriors."""
+    mc, flux, err, idx = _problem(n_model=2000, n_star=8)
+    from brutus_tpu.fitting import BruteForce
+    ltype = np.dtype([("mini", float), ("feh", float), ("loga", float)])
+    labels = np.zeros(len(mc), dtype=ltype)
+    labels["mini"] = rng.uniform(0.5, 2.0, len(mc))
+    labels["feh"] = rng.uniform(-2.0, 0.3, len(mc))
+    labels["loga"] = rng.uniform(8.0, 10.1, len(mc))
+    mask = np.ones(flux.shape, bool)
+    coords = np.tile([204.7, -19.2], (len(flux), 1))
+    kw = dict(save_file=None, data_coords=coords,
+              parallax=np.full(len(flux), 1.0),
+              parallax_err=np.full(len(flux), 0.05),
+              Nmc_prior=16, Ndraws=64, n_sel_max=64,
+              verbose=False, return_results=True)
+    out_f = BruteForce(mc, labels).fit(flux, err, mask, batch_size=8,
+                                       engine="fused", tile=128,
+                                       screen_k=512, **kw)
+    out_x = BruteForce(mc, labels).fit(flux, err, mask, batch_size=8,
+                                       engine="xla", **kw)
+    d_f = np.median(out_f["dist"], axis=1)
+    d_x = np.median(out_x["dist"], axis=1)
+    np.testing.assert_allclose(d_f, d_x, rtol=0.05)
+    np.testing.assert_allclose(out_f["log_evidence"],
+                               out_x["log_evidence"], atol=0.5)
+    # model_idx draws are grid-global (overwhelmingly the true model)
+    hit = (out_f["model_idx"] == idx[:, None]).mean()
+    assert hit > 0.9
+
+
 def test_bruteforce_fused_engine():
     """BruteForce with engine='fused' matches the XLA engine posteriors."""
     mc, flux, err, idx = _problem(n_model=300, n_star=8)
