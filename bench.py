@@ -59,7 +59,7 @@ def main():
                     help="tiny CPU-friendly smoke run")
     ap.add_argument("--models", type=int, default=750_000)
     ap.add_argument("--filters", type=int, default=8)
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--nmc", type=int, default=50)
     ap.add_argument("--ndraws", type=int, default=250)
@@ -162,28 +162,37 @@ def main():
                              loga=loga.astype(np.float32)),
                 tile=args.tile)
 
-            def one(key, r, gidx, lnp_a, feh_a, loga_a, p, pe):
-                return lnpost_grid(key, r, lnp_a, coord,
-                                   parallax=p, parallax_err=pe,
-                                   feh=feh_a, loga=loga_a,
-                                   dust_profile=(dust_dist, dust_mean,
-                                                 dust_std),
-                                   global_idx=gidx, cfg=post_cfg)
+            from brutus_tpu.ops.posterior import lnpost_batch
 
-            batch_post = jax.jit(jax.vmap(one))
-
-            def step(keys, f, e, plx, plx_err):
+            # ONE jitted executable for the whole step (3 funnel
+            # kernels + MC kernel + all glue): per-batch dispatch
+            # latency collapses to a single call.  The big tables MUST
+            # be jit *arguments* — closing over them embeds them as
+            # XLA constants and inflates compilation ~100x (measured
+            # 709 s -> 6.5 s).
+            def step_fn(ct, pk, mr, keys, f, e, plx, plx_err):
                 res = loglike_grid_screened(
-                    f, e, jnp.ones_like(f, bool), coeffs_t, packed,
-                    maskrow, n_real, parallax=plx, parallax_err=plx_err,
+                    f, e, jnp.ones_like(f, bool), ct, pk, mr, n_real,
+                    parallax=plx, parallax_err=plx_err,
                     cfg=fit_cfg, tile=args.tile, screen_k=args.screen,
                     aux_names=aux_names)
                 if args.loglike_only:
                     return res
                 gidx = res.pop("global_idx")
                 aux = res.pop("aux")
-                return batch_post(keys, res, gidx, aux["lnprior"],
-                                  aux["feh"], aux["loga"], plx, plx_err)
+                # Fused MC-integration kernel (ops.pallas_mc).
+                return lnpost_batch(keys, res, aux["lnprior"], coord,
+                                    parallax=plx, parallax_err=plx_err,
+                                    feh=aux["feh"], loga=aux["loga"],
+                                    dust_profile=(dust_dist, dust_mean,
+                                                  dust_std),
+                                    global_idx=gidx, cfg=post_cfg)
+
+            jstep = jax.jit(step_fn)
+
+            def step(keys, f, e, plx, plx_err):
+                return jstep(coeffs_t, packed, maskrow, keys, f, e,
+                             plx, plx_err)
 
             return step
 

@@ -78,6 +78,94 @@ def default_grid_lnprior(models_labels, labels_mask=None,
     return lnprior
 
 
+from functools import lru_cache
+
+
+@jax.jit
+def _pack_rows(arrs):
+    """Concatenate per-star-flattened arrays into one (B, X) matrix.
+
+    The device->host link pays a full round trip PER ARRAY fetched
+    (~40 ms on the tunnel backend), so the ~17 step outputs are packed
+    into two transfers (floats + ints) and split on the host."""
+    return jnp.concatenate([a.reshape(a.shape[0], -1) for a in arrs],
+                           axis=1)
+
+
+def _pack_outputs(out):
+    """-> (fpack, ipack, layout) device matrices + host split recipe."""
+    groups = {"f": [], "i": []}
+    layout = []
+    for k in sorted(out):
+        v = out[k]
+        kind = "f" if v.dtype.kind == "f" else "i"
+        shape = v.shape[1:]
+        n = int(np.prod(shape)) if shape else 1
+        layout.append((k, kind, shape, n, str(v.dtype)))
+        groups[kind].append(v.astype(jnp.float32) if kind == "f"
+                            else v.astype(jnp.int32))
+    fpack = _pack_rows(groups["f"]) if groups["f"] else None
+    ipack = _pack_rows(groups["i"]) if groups["i"] else None
+    return fpack, ipack, layout
+
+
+def _unpack_outputs(fpack, ipack, layout):
+    fpack = np.asarray(fpack) if fpack is not None else None
+    ipack = np.asarray(ipack) if ipack is not None else None
+    pos = {"f": 0, "i": 0}
+    buf = {"f": fpack, "i": ipack}
+    out = {}
+    for k, kind, shape, n, dtype in layout:
+        b = buf[kind]
+        v = b[:, pos[kind]:pos[kind] + n].reshape((b.shape[0],) + shape)
+        pos[kind] += n
+        out[k] = v.astype(dtype) if str(v.dtype) != dtype else v
+    return out
+
+
+@lru_cache(maxsize=16)
+def _screened_step(fit_cfg, post_cfg, gal_cfg, dust_cfg, apply_av_prior,
+                   aux_names, n_real, tile):
+    """ONE jitted executable for the funnel fit step: screening kernel
+    + DMA slab gather + shortlist fit (`loglike_grid_screened`) + the
+    fused MC-integration kernel (`lnpost_batch`) + all glue.  Per-batch
+    dispatch latency collapses to a single call, and the lru_cache
+    keeps repeated `BruteForce.fit` calls from re-tracing.
+
+    The big tables (coeffs, packed columns, mask row) are jit
+    ARGUMENTS: closing over them would embed them as XLA constants and
+    inflate compilation ~100x (measured 709 s vs 6.5 s).
+    """
+    from .ops.pallas_loglike import loglike_grid_screened
+    from .ops.posterior import lnpost_batch
+
+    def step_fn(ct, pk, mr, keys, flux, err, mask, plx, plx_err,
+                coord, dust_mean, dust_std, dust_dist, ext_lnl):
+        res = loglike_grid_screened(
+            flux, err, mask, ct, pk, mr, n_real,
+            parallax=plx, parallax_err=plx_err, cfg=fit_cfg,
+            tile=tile, screen_k=fit_cfg.screen_k, aux_names=aux_names)
+        gidx = res.pop("global_idx")
+        aux = res.pop("aux")
+        if ext_lnl is not None:
+            # (B, M) external label priors, gathered onto the
+            # shortlists (element gather; only paid when `lnprior_ext`
+            # is in use).
+            res["lnlike"] = res["lnlike"] + jnp.take_along_axis(
+                ext_lnl, gidx, axis=1)
+        profile = ((dust_dist, dust_mean, dust_std)
+                   if dust_mean is not None else None)
+        return lnpost_batch(
+            keys, res, aux["lnprior"], coord,
+            parallax=plx, parallax_err=plx_err,
+            feh=aux.get("feh"), loga=aux.get("loga"),
+            dust_profile=profile, global_idx=gidx,
+            cfg=post_cfg, gal_cfg=gal_cfg, dust_cfg=dust_cfg,
+            apply_av_prior=apply_av_prior)
+
+    return jax.jit(step_fn)
+
+
 class BruteForce:
     """Grid-scan fitter over `(Nmodel, Nfilt, 3)` magnitude coefficients.
 
@@ -163,51 +251,16 @@ class BruteForce:
                     screen_tables=None):
 
         if engine == "fused_screen":
-            # Funnel path: screening kernel + DMA slab gather +
-            # shortlist fit (ops.pallas_loglike.loglike_grid_screened).
-            # The grid prior / labels arrive per star through the
-            # gathered aux columns; the posterior maps shortlist
-            # indices back to grid indices via `global_idx`.
-            from .ops.pallas_loglike import loglike_grid_screened
             coeffs_t, packed, aux_names, n_real_s, maskrow = screen_tables
-
-            def post_step(key, res, gidx, aux, plx, plx_err, coord,
-                          dust_mean, dust_std, dust_dist, ext_row):
-                if ext_row is not None:
-                    res = dict(res)
-                    # (M,) per-star external label prior, gathered onto
-                    # the shortlist (element gather; only paid when
-                    # `lnprior_ext` is in use).
-                    res["lnlike"] = res["lnlike"] + ext_row[gidx]
-                profile = ((dust_dist, dust_mean, dust_std)
-                           if dust_mean is not None else None)
-                return lnpost_grid(
-                    key, res, aux["lnprior"], coord,
-                    parallax=plx, parallax_err=plx_err,
-                    feh=aux.get("feh"), loga=aux.get("loga"),
-                    dust_profile=profile, global_idx=gidx,
-                    cfg=post_cfg, gal_cfg=gal_cfg, dust_cfg=dust_cfg,
-                    apply_av_prior=apply_av_prior)
-
-            post_axes = (0, 0, 0, 0, 0, 0, 0,
-                         0 if apply_av_prior else None,
-                         0 if apply_av_prior else None,
-                         None,
-                         0 if has_ext else None)
-            post_batch = jax.jit(jax.vmap(post_step, in_axes=post_axes))
+            jstep = _screened_step(fit_cfg, post_cfg, gal_cfg, dust_cfg,
+                                   apply_av_prior, aux_names, n_real_s,
+                                   tile)
 
             def step(keys, flux, err, mask, plx, plx_err, coord,
                      dust_mean, dust_std, dust_dist, ext_lnl):
-                res = loglike_grid_screened(
-                    flux, err, mask, coeffs_t, packed, maskrow, n_real_s,
-                    parallax=plx, parallax_err=plx_err, cfg=fit_cfg,
-                    tile=tile, screen_k=fit_cfg.screen_k,
-                    aux_names=aux_names)
-                gidx = res.pop("global_idx")
-                aux = res.pop("aux")
-                return post_batch(keys, res, gidx, aux, plx, plx_err,
-                                  coord, dust_mean, dust_std, dust_dist,
-                                  ext_lnl)
+                return jstep(coeffs_t, packed, maskrow, keys, flux, err,
+                             mask, plx, plx_err, coord, dust_mean,
+                             dust_std, dust_dist, ext_lnl)
 
             return step
 
@@ -527,7 +580,9 @@ class BruteForce:
                                    resume=resume)
         start_row = writer.cursor if (writer is not None and resume) else 0
 
-        def batches():
+        pending = [None]   # one in-flight batch (device->host overlap)
+
+        def batches_dispatch():
             """Stream `(lo, n_valid, out)` per completed star batch."""
             root_key = jax.random.PRNGKey(seed)
             for lo in range(start_row, n_data, batch_size):
@@ -555,7 +610,36 @@ class BruteForce:
                         dust_dist,
                         pad_batch(ext_lnl) if ext_lnl is not None else None)
                 out = step(*args)
-                yield lo, n, {k: np.asarray(v) for k, v in out.items()}
+                # Pack to two matrices (one fetch round trip each),
+                # start the device->host copies immediately, but only
+                # materialize the PREVIOUS batch: the device computes
+                # batch i+1 while batch i streams back (the host link
+                # is a major cost at these throughputs).
+                if isinstance(out, dict) and hasattr(
+                        next(iter(out.values())), "copy_to_host_async"):
+                    fpack, ipack, layout = _pack_outputs(out)
+                    for v in (fpack, ipack):
+                        if v is not None:
+                            v.copy_to_host_async()
+                    item = (lo, n, fpack, ipack, layout)
+                else:       # multi-device fused path returns numpy
+                    item = (lo, n, out, None, None)
+                if pending[0] is not None:
+                    yield pending[0]
+                pending[0] = item
+
+        def batches():
+            def emit(item):
+                lo, n, a, b, layout = item
+                if layout is None:
+                    return lo, n, {k: np.asarray(v) for k, v in a.items()}
+                return lo, n, _unpack_outputs(a, b, layout)
+
+            for item in batches_dispatch():
+                yield emit(item)
+            if pending[0] is not None:
+                item, pending[0] = pending[0], None
+                yield emit(item)
 
         if _yield_batches:
             return batches()

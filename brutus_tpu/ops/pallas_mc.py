@@ -1,0 +1,326 @@
+"""
+Fused Pallas TPU kernel for the posterior Monte-Carlo integration.
+
+Replaces the XLA chain of `lnpost_grid`'s MC stage — MVN transform of
+the `(s, Av, Rv)` draws, Galactic 3-D prior, 3-D dust prior
+(hat-function ladder interpolation), parallax prior, bounds mask, and
+the per-model logsumexp over draws (reference `brutus/fitting.py:
+1068-1098`) — with ONE kernel pass in which every intermediate lives in
+registers/VMEM.
+
+Why: the dust hat interpolation alone costs ~480 flops per draw and in
+XLA materializes a `(B, K, Nmc, Nladder)` weight tensor (~6 GB/batch,
+measured 40-60 ms); the full fused kernel runs the entire stage in a
+few ms.  Math parity is exact (same formulas as `priors.gal_lnprior`
+/ `priors.dust_lnprior` / `priors.parallax_lnprior`, same `z` draws —
+the standard normals are generated outside and fed in, so results
+match the XLA path to float32 association error).
+
+Layout: models ride the 128-wide lanes (tile T), the Nmc draws ride
+the sublane axis in chunks of 8; per-model constants arrive as a
+16-row table `(B, 16, K)`, per-star scalars as `(B, 1, 16)`, the dust
+ladder as `(B, 128, 8)` (column 0 = mean, 1 = std).
+
+Cite: reference brutus/fitting.py:1068-1098 (MC prior integration),
+brutus/pdf.py:476-749 (gal prior), brutus/pdf.py:752-840 (dust prior),
+brutus/pdf.py:144-175 (parallax prior).
+"""
+
+import math
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import PosteriorConfig, GalPriorConfig, DustPriorConfig
+from ..coords import _M, _T
+
+NEG_BIG = -1e30
+LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
+
+# Table row layout (matches `posterior._mc_pre`).
+ROW_MEAN_S, ROW_MEAN_A, ROW_MEAN_R = 0, 1, 2
+ROW_L00, ROW_L10, ROW_L11, ROW_L20, ROW_L21, ROW_L22 = 3, 4, 5, 6, 7, 8
+ROW_FEH, ROW_LOGA = 9, 10
+N_TAB_ROWS = 16
+
+# Per-star scalar layout.
+SC_V0, SC_V1, SC_V2 = 0, 1, 2        # M @ unit(l, b) direction
+SC_PM, SC_PW, SC_PLN = 3, 4, 5      # parallax mean / weight / lnorm
+SC_D0, SC_IDX = 6, 7                # dust ladder origin / 1/dx
+SC_COV = 8                          # dust coverage flag (1.0 / 0.0)
+SC_UMAX = 9                         # dust ladder clip bound (n_real - 1)
+N_SCALARS = 16
+
+NL_PAD = 128                        # padded dust-ladder length
+
+
+def _age_consts(gal_cfg, feh_mean):
+    """Scalar constants of the truncated-normal age prior for one
+    Galactic component (reference `brutus/pdf.py:410-473`)."""
+    c = gal_cfg
+    age_mean = ((c.max_age - c.min_age)
+                / (1.0 + math.exp((feh_mean - c.feh_age_ctr)
+                                  / c.feh_age_scale)) + c.min_age)
+    age_sigma = (c.max_age - age_mean) / c.nsigma_from_max_age
+    age_sigma = min(max(age_sigma, c.min_sigma), c.max_sigma)
+    a = (c.min_age - age_mean) / age_sigma
+    b = (c.max_age - age_mean) / age_sigma
+    lo = age_sigma * a + age_mean
+    hi = age_sigma * b + age_mean
+    lndenom = (math.log(age_sigma / 2.0)
+               + math.log(math.erf(b / math.sqrt(2.0))
+                          - math.erf(a / math.sqrt(2.0))))
+    return age_mean, age_sigma, lo, hi, lndenom
+
+
+@lru_cache(maxsize=32)
+def _make_mc_kernel(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
+                    dust_cfg: DustPriorConfig, n_mc, nmc_pad,
+                    use_feh, use_loga, use_dust, use_gal):
+    g = gal_cfg
+    t0, t1, t2 = (float(x) for x in _T)
+    avmin, avmax = cfg.avlim
+    rvmin, rvmax = cfg.rvlim
+    z_sol = abs(g.Z_solar)
+    # Halo solar normalization (reference brutus/pdf.py:349-360).
+    rp_sol = math.sqrt(g.R_solar ** 2 + g.Z_solar ** 2 + g.r_q_halo ** 2)
+    q_sol = g.q_halo_inf - (g.q_halo_inf - g.q_halo_ctr) * math.exp(
+        1.0 - rp_sol / g.r_q_halo)
+    reff_sol_halo = math.sqrt(g.R_solar ** 2 + (g.Z_solar / q_sol) ** 2
+                              + g.Rs_halo ** 2)
+    ln_f_thick = math.log(g.f_thick)
+    ln_f_halo = math.log(g.f_halo)
+    comps = [
+        (g.feh_thin, g.feh_thin_sigma),
+        (g.feh_thick, g.feh_thick_sigma),
+        (g.feh_halo, g.feh_halo_sigma),
+    ]
+    age_c = [_age_consts(g, mu) for mu, _ in comps]
+    LN10 = math.log(10.0)
+
+    def kernel(tab_ref, scal_ref, dust_ref, z_ref,
+               lnmc_ref, dist_ref, red_ref, dred_ref, agg_ref):
+        tab = tab_ref[0]                       # (16, T)
+        row = lambda i: tab[i:i + 1, :]        # (1, T)
+        sc = scal_ref[0]                       # (1, 16)
+        scv = lambda i: sc[:, i:i + 1]         # (1, 1)
+
+        mean_s, mean_a, mean_r = row(ROW_MEAN_S), row(ROW_MEAN_A), \
+            row(ROW_MEAN_R)
+        L00, L10, L11 = row(ROW_L00), row(ROW_L10), row(ROW_L11)
+        L20, L21, L22 = row(ROW_L20), row(ROW_L21), row(ROW_L22)
+
+        v0, v1, v2 = scv(SC_V0), scv(SC_V1), scv(SC_V2)
+        pm, pw, pln = scv(SC_PM), scv(SC_PW), scv(SC_PLN)
+        d0, idx_s, covered = scv(SC_D0), scv(SC_IDX), scv(SC_COV)
+        umax = scv(SC_UMAX)
+
+        if use_dust:
+            dt = dust_ref[0]                                  # (128, 8)
+            mean_lad = dt[:, 0:1][:, :, None]                 # (128,1,1)
+            std_lad = dt[:, 1:2][:, :, None]
+            iota_l = lax.broadcasted_iota(jnp.int32, (NL_PAD, 1, 1),
+                                          0).astype(tab.dtype)
+
+        # Per-model (draw-independent) mixture-weight ingredients.
+        if use_feh:
+            feh = row(ROW_FEH)
+            feh_g = [(-0.5 * ((mu - feh) ** 2 / sig ** 2)
+                      - 0.5 * math.log(2.0 * math.pi * sig ** 2))
+                     for mu, sig in comps]
+        if use_loga:
+            age = jnp.exp(LN10 * row(ROW_LOGA)) * 1e-9
+            age_g = []
+            for mu_a, sig_a, lo, hi, lden in age_c:
+                xi = (age - mu_a) / sig_a
+                ans = -LOG_SQRT_2PI - 0.5 * xi * xi - lden
+                age_g.append(jnp.where((age < lo) | (age > hi),
+                                       NEG_BIG, ans))
+
+        m_acc = jnp.full((1, tab.shape[1]), NEG_BIG, tab.dtype)
+        s_acc = jnp.zeros((1, tab.shape[1]), tab.dtype)
+        n_acc = jnp.zeros((1, tab.shape[1]), tab.dtype)
+
+        n_chunks = nmc_pad // 8
+        for c in range(n_chunks):
+            sl = slice(c * 8, (c + 1) * 8)
+            z0 = z_ref[0, 0, sl, :]            # (8, T)
+            z1 = z_ref[0, 1, sl, :]
+            z2 = z_ref[0, 2, sl, :]
+            # MVN transform (utils.mvn3_transform).
+            s = mean_s + L00 * z0
+            a = mean_a + L10 * z0 + L11 * z1
+            r = mean_r + L20 * z0 + L21 * z1 + L22 * z2
+
+            s_pos = jnp.maximum(s, 1e-30)
+            par = jnp.sqrt(s_pos)
+            dist = 1.0 / par
+
+            lnp = jnp.zeros_like(s)
+            if use_gal:
+                # Galactocentric (R, Z) via the per-star direction
+                # vector (coords.galactic_to_galactocentric).
+                X = dist * v0 + t0
+                Y = dist * v1 + t1
+                Zg = dist * v2 + t2
+                R2 = X * X + Y * Y
+                R = jnp.sqrt(R2)
+                vol = 2.0 * jnp.log(dist)
+                # thin + thick disks (priors.logn_disk).
+                reff_t = jnp.sqrt(R2 + g.Rs_thin ** 2)
+                lt = -((reff_t - g.R_solar) / g.R_thin
+                       + (jnp.abs(Zg) - z_sol) / g.Z_thin) + vol
+                reff_k = jnp.sqrt(R2 + g.Rs_thick ** 2)
+                lk = -((reff_k - g.R_solar) / g.R_thick
+                       + (jnp.abs(Zg) - z_sol) / g.Z_thick) \
+                    + vol + ln_f_thick
+                # halo (priors.logn_halo).
+                r2 = R2 + Zg * Zg
+                rp = jnp.sqrt(r2 + g.r_q_halo ** 2)
+                q = g.q_halo_inf - (g.q_halo_inf - g.q_halo_ctr) \
+                    * jnp.exp(1.0 - rp / g.r_q_halo)
+                reff_h = jnp.sqrt(R2 + (Zg / q) ** 2 + g.Rs_halo ** 2)
+                lh = -g.eta_halo * jnp.log(reff_h / reff_sol_halo) \
+                    + vol + ln_f_halo
+                mx = jnp.maximum(jnp.maximum(lt, lk), lh)
+                et, ek, eh = (jnp.exp(lt - mx), jnp.exp(lk - mx),
+                              jnp.exp(lh - mx))
+                lnden = mx + jnp.log(et + ek + eh)
+                lnp = lnp + lnden
+                if use_feh or use_loga:
+                    lw = [lt - lnden, lk - lnden, lh - lnden]
+                if use_feh:
+                    t_ = [feh_g[i] + lw[i] for i in range(3)]
+                    mf = jnp.maximum(jnp.maximum(t_[0], t_[1]), t_[2])
+                    lnp = lnp + mf + jnp.log(
+                        jnp.exp(t_[0] - mf) + jnp.exp(t_[1] - mf)
+                        + jnp.exp(t_[2] - mf))
+                if use_loga:
+                    t_ = [age_g[i] + lw[i] for i in range(3)]
+                    ma = jnp.maximum(jnp.maximum(t_[0], t_[1]), t_[2])
+                    lnp = lnp + ma + jnp.log(
+                        jnp.exp(t_[0] - ma) + jnp.exp(t_[1] - ma)
+                        + jnp.exp(t_[2] - ma))
+
+            if use_dust:
+                # Gather-free hat interpolation (priors.dust_lnprior),
+                # ladder processed in 16-point slices so the live
+                # (16, 8, T) weight block stays register-sized (the
+                # full (128, 8, T) block blew the scoped-VMEM limit).
+                u = jnp.clip((dist - d0) * idx_s, 0.0, umax)
+                mean_i = jnp.zeros_like(u)
+                std_i = jnp.zeros_like(u)
+                for ls in range(0, NL_PAD, 16):
+                    w = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(u[None]
+                                           - iota_l[ls:ls + 16]))
+                    mean_i = mean_i + jnp.sum(
+                        w * mean_lad[ls:ls + 16], axis=0)
+                    std_i = std_i + jnp.sum(
+                        w * std_lad[ls:ls + 16], axis=0)
+                mean_d = dust_cfg.scale * mean_i + dust_cfg.offset
+                err2 = ((dust_cfg.smooth * dust_cfg.scale * std_i) ** 2
+                        + dust_cfg.scatter ** 2)
+                dchi2 = (a - mean_d) ** 2 / err2
+                dpdf = -0.5 * (dchi2 + jnp.log(2.0 * math.pi * err2))
+                lnp = lnp + jnp.where(covered > 0.5, dpdf, 0.0)
+
+            # parallax prior (priors.parallax_lnprior; pw/pln pre-gated)
+            lnp = lnp - 0.5 * ((par - pm) ** 2 * pw + pln)
+
+            inb = ((s >= 1e-20) & (a >= avmin) & (a <= avmax)
+                   & (r >= rvmin) & (r <= rvmax))
+            if (c + 1) * 8 > n_mc:
+                rows = lax.broadcasted_iota(jnp.int32, s.shape, 0) \
+                    + c * 8
+                inb = inb & (rows < n_mc)
+            lnp = jnp.where(inb & jnp.isfinite(lnp), lnp, NEG_BIG)
+
+            lnmc_ref[0, sl, :] = lnp
+            dist_ref[0, sl, :] = dist
+            red_ref[0, sl, :] = a
+            dred_ref[0, sl, :] = r
+
+            # online logsumexp + effective-sample count over draws
+            cmax = jnp.max(lnp, axis=0, keepdims=True)
+            nmax = jnp.maximum(m_acc, cmax)
+            s_acc = s_acc * jnp.exp(m_acc - nmax) + jnp.sum(
+                jnp.exp(lnp - nmax), axis=0, keepdims=True)
+            m_acc = nmax
+            n_acc = n_acc + jnp.sum(inb.astype(tab.dtype), axis=0,
+                                    keepdims=True)
+
+        lse = m_acc + jnp.log(jnp.maximum(s_acc, 1e-37))
+        agg_ref[0] = jnp.concatenate(
+            [lse, n_acc, jnp.zeros((6, tab.shape[1]), tab.dtype)], axis=0)
+
+    return kernel
+
+
+@lru_cache(maxsize=32)
+def _make_mc_call(cfg, gal_cfg, dust_cfg, n_mc, nmc_pad, use_feh,
+                  use_loga, use_dust, use_gal, B, K, tile, dtype,
+                  interpret):
+    num_tiles = K // tile
+    kern = _make_mc_kernel(cfg, gal_cfg, dust_cfg, n_mc, nmc_pad,
+                           use_feh, use_loga, use_dust, use_gal)
+    draw_spec = pl.BlockSpec((1, nmc_pad, tile), lambda b, t: (b, 0, t),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        grid=(B, num_tiles),
+        in_specs=[
+            pl.BlockSpec((1, N_TAB_ROWS, tile), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, N_SCALARS), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NL_PAD, 8), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, nmc_pad, tile), lambda b, t: (b, 0, 0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[draw_spec, draw_spec, draw_spec, draw_spec,
+                   pl.BlockSpec((1, 8, tile), lambda b, t: (b, 0, t),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((B, nmc_pad, K), dtype)] * 4
+        + [jax.ShapeDtypeStruct((B, 8, K), dtype)],
+        interpret=interpret,
+    )
+
+
+def mc_integrate(tab, scal, dusttab, z, n_mc,
+                 cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
+                 dust_cfg: DustPriorConfig, use_feh, use_loga, use_dust,
+                 use_gal=True, tile=256, interpret=None):
+    """Run the fused MC-integration kernel (eager dispatch).
+
+    Parameters
+    ----------
+    tab : (B, 16, K) per-model rows (see ROW_* layout).
+    scal : (B, 1, 16) per-star scalars (see SC_* layout).
+    dusttab : (B, 128, 8) dust ladder (col 0 mean, col 1 std).
+    z : (B, 3, NMC_PAD, K) standard-normal draws.
+
+    Returns
+    -------
+    (lnmc, dist, red, dred, agg): `(B, NMC_PAD, K)` draw fields plus
+    the `(B, 8, K)` aggregate (row 0 = logsumexp over draws, row 1 =
+    in-bounds count).
+    """
+    B, _, nmc_pad, K = z.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    t = tile
+    while K % t:
+        t //= 2
+    call = _make_mc_call(cfg, gal_cfg, dust_cfg, int(n_mc), int(nmc_pad),
+                         bool(use_feh), bool(use_loga), bool(use_dust),
+                         bool(use_gal), B, K, t, str(z.dtype), interpret)
+    return call(tab, scal, dusttab, z)
+
+
+__all__ = ["mc_integrate", "N_TAB_ROWS", "N_SCALARS", "NL_PAD"]

@@ -93,40 +93,15 @@ def _psd_repair(icov, cov, scale, valid, cfg: PosteriorConfig):
     return icov, cov
 
 
-@partial(jax.jit,
-         static_argnames=("cfg", "gal_cfg", "dust_cfg", "apply_av_prior"))
-def lnpost_grid(key, results, lnprior_grid, coord,
-                parallax=jnp.nan, parallax_err=jnp.nan,
-                feh=None, loga=None,
-                dust_profile=None, global_idx=None,
-                cfg: PosteriorConfig = PosteriorConfig(),
-                gal_cfg: GalPriorConfig = GalPriorConfig(),
-                dust_cfg: DustPriorConfig = DustPriorConfig(),
-                apply_av_prior=True):
-    """Posterior weights + Monte-Carlo `(dist, Av, Rv)` draws for one star.
-
-    Parameters
-    ----------
-    key : PRNG key.
-    results : dict from `loglike_grid` (`lnlike, ndim, chi2, scale, av,
-        rv, icov_sar`), shapes `(M, ...)`.
-    lnprior_grid : (M,) static grid log-prior (IMF/LF + age/grad weights).
-    coord : (2,) galactic `(l, b)` degrees.
-    feh, loga : optional (M,) model labels for the Galactic mixture priors.
-    dust_profile : optional tuple `(av_dist, av_mean, av_std)` of the
-        line-of-sight dust profile from `dustmap.Bayestar.query`.
-    global_idx : optional (M,) map from the local model axis to grid
-        indices (funnel path: `results` covers a per-star shortlist
-        from `loglike_grid_screened`); applied to the emitted
-        `model_idx`/`sel_idx` only — all internal gathers stay local.
-
-    Returns
-    -------
-    dict with per-draw outputs (`model_idx, scale, av, rv, cov_sar,
-    lnprob, dist, red, dred, logwt` of leading dim `n_draws`) and
-    per-star scalars (`log_evidence, chi2min, ndim`), plus the top-K
-    diagnostics (`sel_idx, lnp_sel, valid_sel`).
-    """
+def _select_stage(results, lnprior_grid, coord,
+                  parallax, parallax_err, feh, loga, dust_profile,
+                  cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
+                  dust_cfg: DustPriorConfig, apply_av_prior):
+    """Culls + priors + top-K selection + PSD repair — everything of
+    `lnpost_grid` before the Monte-Carlo integration (reference
+    `brutus/fitting.py:823-1065` + the chi2/Ndim bookkeeping of
+    `:2024-2030`).  Shared by the XLA path (`lnpost_grid`) and the
+    fused-kernel batch path (`lnpost_batch`)."""
     lnlike = results["lnlike"]
     chi2 = results["chi2"]
     scale = results["scale"]
@@ -251,6 +226,69 @@ def lnpost_grid(key, results, lnprior_grid, coord,
     cov_k = inverse3_stable(icov_k)
     icov_k, cov_k = _psd_repair(icov_k, cov_k, scale_k, valid, cfg)
 
+    # --- evidence-independent chi2/Ndim bookkeeping (fitting.py:
+    # 2024-2030) ---
+    have_plx = jnp.isfinite(parallax) & jnp.isfinite(parallax_err)
+    perr_safe = jnp.where(have_plx, parallax_err, 1.0)
+    chi2_k = chi2_k + jnp.where(
+        have_plx, (jnp.sqrt(scale_k) - parallax) ** 2 / perr_safe ** 2, 0.0)
+    ndim_out = ndim + have_plx.astype(ndim.dtype)
+    chi2min = jnp.min(jnp.where(valid, chi2_k, jnp.inf))
+
+    return dict(lnp_sel=lnp_sel, valid=valid, sel_idx=sel_idx,
+                scale_k=scale_k, av_k=av_k, rv_k=rv_k, cov_k=cov_k,
+                chi2_k=chi2_k, ndim=ndim_out, chi2min=chi2min,
+                feh_k=feh_k, loga_k=loga_k)
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "gal_cfg", "dust_cfg", "apply_av_prior"))
+def lnpost_grid(key, results, lnprior_grid, coord,
+                parallax=jnp.nan, parallax_err=jnp.nan,
+                feh=None, loga=None,
+                dust_profile=None, global_idx=None,
+                cfg: PosteriorConfig = PosteriorConfig(),
+                gal_cfg: GalPriorConfig = GalPriorConfig(),
+                dust_cfg: DustPriorConfig = DustPriorConfig(),
+                apply_av_prior=True):
+    """Posterior weights + Monte-Carlo `(dist, Av, Rv)` draws for one star.
+
+    Parameters
+    ----------
+    key : PRNG key.
+    results : dict from `loglike_grid` (`lnlike, ndim, chi2, scale, av,
+        rv, icov_sar`), shapes `(M, ...)`.
+    lnprior_grid : (M,) static grid log-prior (IMF/LF + age/grad weights).
+    coord : (2,) galactic `(l, b)` degrees.
+    feh, loga : optional (M,) model labels for the Galactic mixture priors.
+    dust_profile : optional tuple `(av_dist, av_mean, av_std)` of the
+        line-of-sight dust profile from `dustmap.Bayestar.query`.
+    global_idx : optional (M,) map from the local model axis to grid
+        indices (funnel path: `results` covers a per-star shortlist
+        from `loglike_grid_screened`); applied to the emitted
+        `model_idx`/`sel_idx` only — all internal gathers stay local.
+
+    Returns
+    -------
+    dict with per-draw outputs (`model_idx, scale, av, rv, cov_sar,
+    lnprob, dist, red, dred, logwt` of leading dim `n_draws`) and
+    per-star scalars (`log_evidence, chi2min, ndim`), plus the top-K
+    diagnostics (`sel_idx, lnp_sel, valid_sel`).
+    """
+    sel = _select_stage(results, lnprior_grid, coord, parallax,
+                        parallax_err, feh, loga, dust_profile,
+                        cfg, gal_cfg, dust_cfg, apply_av_prior)
+    (lnp_sel, valid, sel_idx, scale_k, av_k, rv_k, cov_k, chi2_k,
+     ndim_out, chi2min, feh_k, loga_k) = (
+        sel["lnp_sel"], sel["valid"], sel["sel_idx"], sel["scale_k"],
+        sel["av_k"], sel["rv_k"], sel["cov_k"], sel["chi2_k"],
+        sel["ndim"], sel["chi2min"], sel["feh_k"], sel["loga_k"])
+    dtype = lnp_sel.dtype
+    K = lnp_sel.shape[0]
+    Nmc = cfg.n_mc_prior
+    if dust_profile is not None:
+        av_dist, av_mean, av_std = dust_profile
+
     # --- MC integration over the (s, Av, Rv) Gaussians
     # (fitting.py:1068-1098) ---
     kmvn, kidx, kmc = jax.random.split(key, 3)
@@ -282,14 +320,9 @@ def lnpost_grid(key, results, lnprior_grid, coord,
     lnp_sel = jnp.where(valid & jnp.isfinite(lnp_sel) & (n_eff > 0),
                         lnp_sel, NEG_BIG)
 
-    # --- evidence, chi2 bookkeeping (fitting.py:2024-2034) ---
+    # --- evidence (fitting.py:2024-2034; chi2/Ndim bookkeeping lives
+    # in `_select_stage`) ---
     log_evid = logsumexp(lnp_sel)
-    have_plx = jnp.isfinite(parallax) & jnp.isfinite(parallax_err)
-    perr_safe = jnp.where(have_plx, parallax_err, 1.0)
-    chi2_k = chi2_k + jnp.where(
-        have_plx, (jnp.sqrt(scale_k) - parallax) ** 2 / perr_safe ** 2, 0.0)
-    ndim_out = ndim + have_plx.astype(ndim.dtype)
-    chi2min = jnp.min(jnp.where(valid, chi2_k, jnp.inf))
 
     # --- weighted categorical resampling (fitting.py:2035-2057) ---
     idxs = jax.random.categorical(kidx, lnp_sel, shape=(cfg.n_draws,))
@@ -309,4 +342,215 @@ def lnpost_grid(key, results, lnprior_grid, coord,
     )
 
 
-__all__ = ["lnpost_grid"]
+# ---------------------------------------------------------------------------
+# Batched posterior with the fused MC-integration Pallas kernel
+# ---------------------------------------------------------------------------
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def _batch_fns(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
+               dust_cfg: DustPriorConfig, apply_av_prior,
+               has_feh, has_loga, has_dust, has_global):
+    """Cached jitted pre/post halves of `lnpost_batch` (the MC kernel
+    dispatches eagerly in between)."""
+    from .pallas_mc import N_TAB_ROWS, N_SCALARS, NL_PAD
+    from ..coords import _M
+    from ..utils import cholesky3_stable
+
+    nmc = cfg.n_mc_prior
+    nmcp = -(-nmc // 8) * 8
+    use_dust = has_dust and apply_av_prior
+
+    def pre(key, results, lnprior_grid, coord, parallax, parallax_err,
+            feh, loga, av_mean, av_std, av_dist, global_idx):
+        feh = feh if has_feh else None
+        loga = loga if has_loga else None
+        profile = (av_dist, av_mean, av_std) if has_dust else None
+        sel = _select_stage(results, lnprior_grid, coord, parallax,
+                            parallax_err, feh, loga, profile,
+                            cfg, gal_cfg, dust_cfg, apply_av_prior)
+        dtype = sel["lnp_sel"].dtype
+        K = sel["lnp_sel"].shape[0]
+        kmvn, kidx, kmc = jax.random.split(key, 3)
+
+        # Same draw layout/keys as the XLA path (`lnpost_grid`), so the
+        # two paths agree beyond RNG noise.
+        L = cholesky3_stable(sel["cov_k"]
+                             + cfg.mvn_eps * jnp.eye(3, dtype=dtype))
+        z = jax.random.normal(kmvn, (K, 3, nmc), dtype=dtype)
+        zt = jnp.transpose(z, (1, 2, 0))             # (3, nmc, K)
+        if nmcp != nmc:
+            zt = jnp.pad(zt, ((0, 0), (0, nmcp - nmc), (0, 0)))
+
+        zero = jnp.zeros((K,), dtype)
+        rows = [sel["scale_k"], sel["av_k"], sel["rv_k"],
+                L[:, 0, 0], L[:, 1, 0], L[:, 1, 1],
+                L[:, 2, 0], L[:, 2, 1], L[:, 2, 2],
+                sel["feh_k"] if has_feh else zero,
+                sel["loga_k"] if has_loga else zero]
+        rows += [zero] * (N_TAB_ROWS - len(rows))
+        tab = jnp.stack(rows, axis=0)                # (16, K)
+
+        lr = jnp.deg2rad(coord[0])
+        br = jnp.deg2rad(coord[1])
+        cb = jnp.cos(br)
+        uvec = jnp.stack([cb * jnp.cos(lr), cb * jnp.sin(lr),
+                          jnp.sin(br)]).astype(dtype)
+        v = jnp.asarray(_M, dtype) @ uvec
+
+        have = (jnp.isfinite(parallax) & jnp.isfinite(parallax_err)
+                & (parallax_err > 0))
+        perr = jnp.where(have, parallax_err, 1.0)
+        pm = jnp.where(have, parallax, 0.0).astype(dtype)
+        pw = jnp.where(have, 1.0 / perr ** 2, 0.0).astype(dtype)
+        pln = jnp.where(have, jnp.log(2.0 * jnp.pi * perr ** 2),
+                        0.0).astype(dtype)
+
+        if use_dust:
+            nl = av_mean.shape[0]
+            covered = jnp.all(jnp.isfinite(av_mean)
+                              & jnp.isfinite(av_std)).astype(dtype)
+            safe_mean = jnp.where(jnp.isfinite(av_mean), av_mean,
+                                  0.0).astype(dtype)
+            safe_std = jnp.where(jnp.isfinite(av_std), av_std,
+                                 1.0).astype(dtype)
+            d0 = av_dist[0].astype(dtype)
+            idx_s = (1.0 / (av_dist[1] - av_dist[0])).astype(dtype)
+            umax = jnp.asarray(float(nl - 1), dtype)
+            dusttab = jnp.zeros((NL_PAD, 8), dtype)
+            dusttab = dusttab.at[:nl, 0].set(safe_mean)
+            dusttab = dusttab.at[:nl, 1].set(safe_std)
+        else:
+            covered = jnp.asarray(0.0, dtype)
+            d0 = jnp.asarray(0.0, dtype)
+            idx_s = jnp.asarray(1.0, dtype)
+            umax = jnp.asarray(0.0, dtype)
+            dusttab = jnp.zeros((NL_PAD, 8), dtype)
+
+        scal = jnp.zeros((N_SCALARS,), dtype)
+        scal = scal.at[0].set(v[0]).at[1].set(v[1]).at[2].set(v[2])
+        scal = scal.at[3].set(pm).at[4].set(pw).at[5].set(pln)
+        scal = scal.at[6].set(d0).at[7].set(idx_s)
+        scal = scal.at[8].set(covered).at[9].set(umax)
+
+        sel["kidx"], sel["kmc"] = kidx, kmc
+        sel["tab"], sel["scal"] = tab, scal[None, :]
+        sel["dusttab"], sel["z"] = dusttab, zt
+        if not has_feh:
+            sel.pop("feh_k")
+        if not has_loga:
+            sel.pop("loga_k")
+        return sel
+
+    def post(sel, lnmc, dist_k, red_k, dred_k, agg, global_idx):
+        lnp_sel, valid = sel["lnp_sel"], sel["valid"]
+        lse, neff = agg[0], agg[1]
+        lnp_sel = lnp_sel + lse - jnp.log(jnp.maximum(neff, 1.0))
+        lnp_sel = jnp.where(valid & jnp.isfinite(lnp_sel) & (neff > 0),
+                            lnp_sel, NEG_BIG)
+        log_evid = logsumexp(lnp_sel)
+        idxs = jax.random.categorical(sel["kidx"], lnp_sel,
+                                      shape=(cfg.n_draws,))
+        # The kernel emits draw fields as (NMC_PAD, K); transpose once
+        # (streaming copy) so the resampling gathers below are
+        # model-major ROW gathers — lane-direction (:, idxs) gathers
+        # cost ~50x more on TPU.  Slicing to the real n_mc also makes
+        # the imc categorical see the exact logits shape of the XLA
+        # path, so (same key) it makes the identical choice.
+        lnmcT = lnmc[:nmc].T                        # (K, nmc)
+        imc = jax.random.categorical(sel["kmc"], lnmcT[idxs], axis=-1)
+        gat = lambda x: x[idxs]
+        draw = lambda x: x[:nmc].T[idxs, imc]
+        sel_idx = sel["sel_idx"]
+        sel_out = global_idx[sel_idx] if has_global else sel_idx
+        return dict(
+            model_idx=sel_out[idxs],
+            scale=gat(sel["scale_k"]), av=gat(sel["av_k"]),
+            rv=gat(sel["rv_k"]), cov_sar=gat(sel["cov_k"]),
+            lnprob=gat(lnp_sel),
+            dist=draw(dist_k), red=draw(red_k), dred=draw(dred_k),
+            logwt=lnmcT[idxs, imc],
+            log_evidence=log_evid, chi2min=sel["chi2min"],
+            ndim=sel["ndim"],
+            sel_idx=sel_out, lnp_sel=lnp_sel, valid_sel=valid,
+        )
+
+    pre_v = jax.jit(jax.vmap(
+        pre, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, None, 0)))
+    post_v = jax.jit(jax.vmap(post, in_axes=(0, 0, 0, 0, 0, 0, 0)))
+    return pre_v, post_v
+
+
+def lnpost_batch(keys, results, lnprior_grid, coord,
+                 parallax=None, parallax_err=None,
+                 feh=None, loga=None, dust_profile=None, global_idx=None,
+                 cfg: PosteriorConfig = PosteriorConfig(),
+                 gal_cfg: GalPriorConfig = GalPriorConfig(),
+                 dust_cfg: DustPriorConfig = DustPriorConfig(),
+                 apply_av_prior=True, tile=512, interpret=None):
+    """Batched `lnpost_grid` with the Monte-Carlo integration fused
+    into one Pallas kernel (`ops.pallas_mc`).
+
+    Same math and same RNG keys/draw layout as `jax.vmap(lnpost_grid)`
+    — results agree to float32 association error — but the MC stage
+    (MVN transform + Galactic/dust/parallax priors on every draw +
+    per-model logsumexp) runs register-resident instead of through
+    ~10 HBM-sized XLA temporaries.  NOT jittable as a whole (the
+    Mosaic kernel dispatches eagerly); per-star arrays carry a leading
+    batch axis.
+
+    Parameters mirror `lnpost_grid` with leading batch dims:
+    `keys (B, 2)`, `results` fields `(B, M, ...)`, `lnprior_grid
+    (B, M)`, `coord (B, 2)` (or `(2,)`, broadcast), `dust_profile =
+    (av_dist (Nd,), av_mean (B, Nd), av_std (B, Nd))`.
+    """
+    from .pallas_mc import mc_integrate, NL_PAD
+
+    B = keys.shape[0]
+    lnp = results["lnlike"]
+    dtype = lnp.dtype
+    has_feh = feh is not None
+    has_loga = loga is not None
+    has_dust = dust_profile is not None
+    has_global = global_idx is not None
+
+    coord = jnp.broadcast_to(jnp.asarray(coord, dtype), (B, 2))
+    if parallax is None:
+        parallax = jnp.full((B,), jnp.nan, dtype)
+        parallax_err = jnp.full((B,), jnp.nan, dtype)
+    else:
+        parallax = jnp.broadcast_to(jnp.asarray(parallax, dtype), (B,))
+        parallax_err = jnp.broadcast_to(jnp.asarray(parallax_err, dtype),
+                                        (B,))
+    zeros_m = jnp.zeros(lnp.shape, dtype)
+    feh_a = feh if has_feh else zeros_m
+    loga_a = loga if has_loga else zeros_m
+    if has_dust:
+        av_dist, av_mean, av_std = dust_profile
+        av_mean = jnp.broadcast_to(jnp.atleast_2d(av_mean),
+                                   (B, av_dist.shape[0]))
+        av_std = jnp.broadcast_to(jnp.atleast_2d(av_std),
+                                  (B, av_dist.shape[0]))
+    else:
+        av_dist = jnp.zeros((2,), dtype)
+        av_mean = jnp.zeros((B, 2), dtype)
+        av_std = jnp.zeros((B, 2), dtype)
+    gidx_a = global_idx if has_global else jnp.zeros(lnp.shape, jnp.int32)
+
+    pre_v, post_v = _batch_fns(cfg, gal_cfg, dust_cfg, bool(apply_av_prior),
+                               has_feh, has_loga, has_dust, has_global)
+    sel = pre_v(keys, results, lnprior_grid, coord, parallax,
+                parallax_err, feh_a, loga_a, av_mean, av_std, av_dist,
+                gidx_a)
+    lnmc, dist_k, red_k, dred_k, agg = mc_integrate(
+        sel["tab"], sel["scal"], sel["dusttab"], sel["z"],
+        cfg.n_mc_prior, cfg, gal_cfg, dust_cfg,
+        use_feh=has_feh, use_loga=has_loga,
+        use_dust=has_dust and apply_av_prior, tile=tile,
+        interpret=interpret)
+    return post_v(sel, lnmc, dist_k, red_k, dred_k, agg, gidx_a)
+
+
+__all__ = ["lnpost_grid", "lnpost_batch"]

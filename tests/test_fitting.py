@@ -336,7 +336,11 @@ def test_fit_generator_streams_lazily():
                       data_coords=np.tile(COORD, (n_star, 1)),
                       Nmc_prior=8, Ndraws=16, batch_size=2, n_sel_max=32)
         first = next(gen)
-        assert calls["n"] == 1          # only the first batch was fit
+        # Memory-bounded streaming with ONE batch of device lookahead
+        # (batch i+1 computes while batch i streams to the host), so
+        # consuming the first star dispatches at most two batches —
+        # never the whole catalog.
+        assert calls["n"] <= 2
         assert len(first) == 13         # reference 13-tuple
         rest = list(gen)
         assert calls["n"] == 3          # 6 stars / batch_size 2
