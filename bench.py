@@ -131,20 +131,32 @@ def main():
                 loga_d = jnp.asarray(loga, mc_d.dtype)
                 lnprior = jnp.zeros(M, mc_d.dtype)
 
-            def star_step(key, f, e, plx, plx_err):
-                res = loglike_grid(f, e, jnp.ones_like(f, bool), mc_d,
+            # Grid/prior tables as jit ARGUMENTS (closure capture
+            # compiles them as XLA constants — ~100x compile blowup,
+            # and can 500 the remote compile helper outright).
+            def star_step(grid, lnp_g, feh_g, loga_g, key, f, e, plx,
+                          plx_err):
+                res = loglike_grid(f, e, jnp.ones_like(f, bool), grid,
                                    parallax=plx, parallax_err=plx_err,
                                    cfg=fit_cfg)
                 if args.loglike_only:
                     return res
-                return lnpost_grid(key, res, lnprior, coord,
+                return lnpost_grid(key, res, lnp_g, coord,
                                    parallax=plx, parallax_err=plx_err,
-                                   feh=feh_d, loga=loga_d,
+                                   feh=feh_g, loga=loga_g,
                                    dust_profile=(dust_dist, dust_mean,
                                                  dust_std),
                                    cfg=post_cfg)
 
-            return jax.jit(jax.vmap(star_step, in_axes=(0, 0, 0, 0, 0)))
+            vstep = jax.jit(jax.vmap(
+                star_step, in_axes=(None, None, None, None, 0, 0, 0,
+                                    0, 0)))
+
+            def step(keys, f, e, plx, plx_err):
+                return vstep(mc_d, lnprior, feh_d, loga_d, keys, f, e,
+                             plx, plx_err)
+
+            return step
 
         from brutus_tpu.ops.pallas_loglike import (loglike_grid_fused,
                                                    loglike_grid_screened,
@@ -259,8 +271,18 @@ def main():
     verify_info = {}
     if args.verify:
         other = "xla" if args.engine == "fused" else "fused"
-        out2 = make_step(other)(keys, fx, ex, px, pxe)
-        jax.block_until_ready(out2)
+        ostep = make_step(other)
+        # The XLA engine keeps (B, M, F) intermediates resident and
+        # exceeds HBM beyond ~64 stars; evaluate it in sub-batches.
+        chunks = []
+        for lo in range(0, B, 32):
+            sl = slice(lo, lo + 32)
+            c = ostep(keys[sl], fx[sl], ex[sl], px[sl], pxe[sl])
+            jax.block_until_ready(c)
+            chunks.append({k: v for k, v in c.items()
+                           if not isinstance(v, dict)})
+        out2 = {k: np.concatenate([np.asarray(c[k]) for c in chunks])
+                for k in chunks[0]}
         if args.loglike_only:
             w1, v1 = winners(out)
             w2, v2 = winners(out2)

@@ -92,11 +92,13 @@ def _pack_rows(arrs):
                            axis=1)
 
 
-def _pack_outputs(out):
+def _pack_outputs(out, skip=()):
     """-> (fpack, ipack, layout) device matrices + host split recipe."""
     groups = {"f": [], "i": []}
     layout = []
     for k in sorted(out):
+        if k in skip:
+            continue
         v = out[k]
         kind = "f" if v.dtype.kind == "f" else "i"
         shape = v.shape[1:]
@@ -335,8 +337,8 @@ class BruteForce:
             logl_initthresh=5e-3, mag_max=50.0, merr_max=0.25,
             save_dar_draws=True, running_io=True, verbose=True,
             batch_size=16, n_sel_max=4096, seed=0, resume=False,
-            return_results=False, mesh=None, engine=None, tile=512,
-            screen_k=16384, _yield_batches=False):
+            return_results=False, return_sel=False, mesh=None,
+            engine=None, tile=512, screen_k=16384, _yield_batches=False):
         """Fit every star against the grid and write the results file.
 
         Parity: reference `brutus/fitting.py:1426-1801` (same defaults,
@@ -617,7 +619,12 @@ class BruteForce:
                 # is a major cost at these throughputs).
                 if isinstance(out, dict) and hasattr(
                         next(iter(out.values())), "copy_to_host_async"):
-                    fpack, ipack, layout = _pack_outputs(out)
+                    # The top-K diagnostics are ~75% of the result
+                    # bytes and feed no output dataset; fetch only on
+                    # request.
+                    skip = (() if return_sel
+                            else ("sel_idx", "lnp_sel", "valid_sel"))
+                    fpack, ipack, layout = _pack_outputs(out, skip)
                     for v in (fpack, ipack):
                         if v is not None:
                             v.copy_to_host_async()
