@@ -79,10 +79,14 @@ def main():
     ap.add_argument("--no-direct-init", dest="direct_init",
                     action="store_false")
     ap.add_argument("--prefilter", type=int, default=4096)
-    ap.add_argument("--screen", type=int, default=16384,
+    ap.add_argument("--screen", type=int, default=8192,
                     help="fused-engine funnel: screen all models with a "
                          "cheap direct-solve kernel, fully optimize only "
                          "the top-`screen` models per star (0 = dense)")
+    ap.add_argument("--screen-block", type=int, default=256)
+    ap.add_argument("--mag-iters", type=int, default=6)
+    ap.add_argument("--flux-iters", type=int, default=6)
+    ap.add_argument("--mc-tile", type=int, default=256)
     args = ap.parse_args()
 
     if args.smoke:
@@ -104,7 +108,9 @@ def main():
     dust_mean = jnp.linspace(0.0, 1.5, 120, dtype=jnp.float32)
     dust_std = jnp.full(120, 0.2, jnp.float32)
 
-    fit_cfg = FitConfig(mag_direct_init=args.direct_init)
+    fit_cfg = FitConfig(mag_direct_init=args.direct_init,
+                        kernel_mag_iters=args.mag_iters,
+                        kernel_flux_iters=args.flux_iters)
     post_cfg = PosteriorConfig(n_mc_prior=args.nmc, n_draws=args.ndraws,
                                n_sel_max=min(args.nsel, M),
                                prefilter_k=args.prefilter)
@@ -187,6 +193,7 @@ def main():
                     f, e, jnp.ones_like(f, bool), ct, pk, mr, n_real,
                     parallax=plx, parallax_err=plx_err,
                     cfg=fit_cfg, tile=args.tile, screen_k=args.screen,
+                    screen_block=args.screen_block,
                     aux_names=aux_names)
                 if args.loglike_only:
                     return res
@@ -198,7 +205,8 @@ def main():
                                     feh=aux["feh"], loga=aux["loga"],
                                     dust_profile=(dust_dist, dust_mean,
                                                   dust_std),
-                                    global_idx=gidx, cfg=post_cfg)
+                                    global_idx=gidx, cfg=post_cfg,
+                                    tile=args.mc_tile)
 
             jstep = jax.jit(step_fn)
 

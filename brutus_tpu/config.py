@@ -88,7 +88,7 @@ class FitConfig:
     # budgets below exceed the iteration counts ever observed at
     # convergence on the XLA path (<=6 mag, <=5 flux with direct init).
     kernel_mag_iters: int = 6
-    kernel_flux_iters: int = 8
+    kernel_flux_iters: int = 6
 
     # Two-stage funnel (fused engine): a cheap screening kernel scores
     # every model with a direct magnitude-space 3x3 WLS solve (+
@@ -98,7 +98,11 @@ class FitConfig:
     # optimizer FLOPs (and ALL full-grid posterior gathers) disappear;
     # models outside the shortlist could never have survived the
     # posterior's relative-weight culls.  0 disables (dense fit).
-    screen_k: int = 16384
+    # 8192 measured indistinguishable from 16384 in cross-engine
+    # posterior agreement at 750k models (bench --verify) and ~10%
+    # faster; a star needs >8192 models within ~7 nats of its best
+    # fit for the truncation to bite.
+    screen_k: int = 8192
 
     @property
     def mtol(self):

@@ -338,7 +338,7 @@ class BruteForce:
             save_dar_draws=True, running_io=True, verbose=True,
             batch_size=16, n_sel_max=4096, seed=0, resume=False,
             return_results=False, return_sel=False, mesh=None,
-            engine=None, tile=512, screen_k=16384, _yield_batches=False):
+            engine=None, tile=512, screen_k=8192, _yield_batches=False):
         """Fit every star against the grid and write the results file.
 
         Parity: reference `brutus/fitting.py:1426-1801` (same defaults,

@@ -113,6 +113,27 @@ def test_fused_engine_data_mesh(problem):
     assert (out2["model_idx"] == out1["model_idx"]).mean() > 0.95
 
 
+def test_screened_engine_data_mesh(problem):
+    """Funnel engine (screen_k < M): star-batch data parallelism over
+    a 2-device mesh with per-device screen tables matches the
+    single-device funnel run."""
+    data, errs, mask, coords = problem
+    bf = BruteForce(MC, LABELS, LMASK)
+    kw = dict(data_coords=coords,
+              parallax=np.full(len(data), 1.0),
+              parallax_err=np.full(len(data), 0.05),
+              Nmc_prior=16, Ndraws=32, batch_size=4, n_sel_max=32,
+              verbose=False, return_results=True, engine="fused",
+              tile=64, screen_k=128)
+    assert bf.NMODEL > 128          # the funnel actually engages
+    out1 = bf.fit(data, errs, mask, **kw)
+    mesh = make_mesh(n_data=2, n_model=1, devices=jax.devices()[:2])
+    out2 = bf.fit(data, errs, mask, mesh=mesh, **kw)
+    np.testing.assert_allclose(out2["log_evidence"], out1["log_evidence"],
+                               rtol=1e-6)
+    assert (out2["model_idx"] == out1["model_idx"]).mean() > 0.95
+
+
 def test_fused_engine_rejects_model_mesh(problem):
     data, errs, mask, coords = problem
     bf = BruteForce(MC, LABELS, LMASK)
