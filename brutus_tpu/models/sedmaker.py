@@ -268,17 +268,23 @@ class SEDmaker(MISTtracks):
             sedr, seda = _wls_line(rv_grid_j, av_slope, rv_wt_j)  # (C,F)
             good = (jnp.all(jnp.isfinite(sed0), axis=-1)
                     & jnp.all(jnp.isfinite(params), axis=-1))
-            return sed0, seda, sedr, params, good
+            # One packed output: the device->host link pays a round
+            # trip per fetched array, so the five results travel as a
+            # single (C, 3F + Npred + 1) matrix.
+            return jnp.concatenate(
+                [sed0, seda, sedr, params,
+                 good[:, None].astype(sed0.dtype)], axis=1)
 
-        t0 = time.time()
-        for lo in range(0, n_grid, chunk):
-            hi = min(lo + chunk, n_grid)
-            g = grid_label[lo:hi]
-            sed0, seda, sedr, params, good = [
-                np.asarray(v) for v in chunk_step(
-                    jnp.asarray(g["mini"]), jnp.asarray(g["eep"]),
-                    jnp.asarray(g["feh"]), jnp.asarray(g["afe"]),
-                    jnp.asarray(g["smf"]))]
+        nf = len(self.filters)
+        npred = len(self.predictions)
+
+        def consume(lo, hi, flat):
+            flat = np.asarray(flat)
+            sed0 = flat[:, :nf]
+            seda = flat[:, nf:2 * nf]
+            sedr = flat[:, 2 * nf:3 * nf]
+            params = flat[:, 3 * nf:3 * nf + npred]
+            good = flat[:, -1] > 0.5
             coeffs = np.stack([sed0, seda, sedr], axis=-1)  # (C, F, 3)
             coeffs[~good] = np.nan
             for i, name in enumerate(self.filters):
@@ -286,14 +292,30 @@ class SEDmaker(MISTtracks):
             for i, name in enumerate(self.predictions):
                 self.grid_param[name][lo:hi] = params[:, i]
             self.grid_sel[lo:hi] = good
+
+        t0 = time.time()
+        pending = None    # one chunk of device lookahead
+        for lo in range(0, n_grid, chunk):
+            hi = min(lo + chunk, n_grid)
+            g = grid_label[lo:hi]
+            flat = chunk_step(
+                jnp.asarray(g["mini"]), jnp.asarray(g["eep"]),
+                jnp.asarray(g["feh"]), jnp.asarray(g["afe"]),
+                jnp.asarray(g["smf"]))
+            if hasattr(flat, "copy_to_host_async"):
+                flat.copy_to_host_async()
+            if pending is not None:
+                consume(*pending)
+            pending = (lo, hi, flat)
             if verbose:
-                done = hi
-                rate = (time.time() - t0) / done
+                rate = (time.time() - t0) / hi
                 sys.stderr.write(
-                    f"\rConstructing grid {100.0 * done / n_grid:6.3f}% "
-                    f"({done}/{n_grid}) (t/obj: {rate * 1e3:.3f} ms, "
-                    f"est. remaining: {rate * (n_grid - done):.1f} s)   ")
+                    f"\rConstructing grid {100.0 * hi / n_grid:6.3f}% "
+                    f"({hi}/{n_grid}) (t/obj: {rate * 1e3:.3f} ms, "
+                    f"est. remaining: {rate * (n_grid - hi):.1f} s)   ")
                 sys.stderr.flush()
+        if pending is not None:
+            consume(*pending)
         if verbose:
             sys.stderr.write("\n")
 
