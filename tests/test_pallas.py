@@ -141,8 +141,10 @@ def test_screened_funnel_matches_dense():
 
 def test_bruteforce_screened_engine():
     """BruteForce engine='fused' + screen_k < M routes through the
-    funnel and matches the XLA engine posteriors."""
-    mc, flux, err, idx = _problem(n_model=2000, n_star=8)
+    funnel and matches the XLA engine posteriors.  7 stars at
+    batch_size=4 exercises final-batch padding; one masked band
+    exercises zero-weight filters through the screening solve."""
+    mc, flux, err, idx = _problem(n_model=2000, n_star=7)
     from brutus_tpu.fitting import BruteForce
     ltype = np.dtype([("mini", float), ("feh", float), ("loga", float)])
     labels = np.zeros(len(mc), dtype=ltype)
@@ -150,16 +152,17 @@ def test_bruteforce_screened_engine():
     labels["feh"] = rng.uniform(-2.0, 0.3, len(mc))
     labels["loga"] = rng.uniform(8.0, 10.1, len(mc))
     mask = np.ones(flux.shape, bool)
+    mask[:, 5] = False
     coords = np.tile([204.7, -19.2], (len(flux), 1))
     kw = dict(save_file=None, data_coords=coords,
               parallax=np.full(len(flux), 1.0),
               parallax_err=np.full(len(flux), 0.05),
               Nmc_prior=16, Ndraws=64, n_sel_max=64,
               verbose=False, return_results=True)
-    out_f = BruteForce(mc, labels).fit(flux, err, mask, batch_size=8,
+    out_f = BruteForce(mc, labels).fit(flux, err, mask, batch_size=4,
                                        engine="fused", tile=128,
                                        screen_k=512, **kw)
-    out_x = BruteForce(mc, labels).fit(flux, err, mask, batch_size=8,
+    out_x = BruteForce(mc, labels).fit(flux, err, mask, batch_size=4,
                                        engine="xla", **kw)
     d_f = np.median(out_f["dist"], axis=1)
     d_x = np.median(out_x["dist"], axis=1)
