@@ -156,6 +156,14 @@ class PosteriorConfig:
     psd_width: float = 0.02
     psd_max_passes: int = 8
     mvn_eps: float = 1e-30             # Cholesky jitter (utils.py:845)
+    # Generate the MC draws inside the fused kernel (Box-Muller from
+    # the TPU hardware PRNG) instead of feeding threefry normals in:
+    # skips the normal generation and a (B, 3, NMC_PAD, K) HBM round
+    # trip.  Draw-level results then differ from `lnpost_grid` (same
+    # distribution; the stateless-RNG divergence already applies vs
+    # the reference).  Ignored in interpret mode (no `prng_seed`
+    # there) — CPU runs always use the threefry path.
+    kernel_rng: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

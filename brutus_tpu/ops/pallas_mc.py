@@ -77,10 +77,20 @@ def _age_consts(gal_cfg, feh_mean):
     return age_mean, age_sigma, lo, hi, lndenom
 
 
+def _bits_to_uniform(bits):
+    """int32 random bits -> float32 uniforms in [0, 1) via the
+    exponent trick (Mosaic has no uint32->float cast): put 23 random
+    mantissa bits under exponent 127 => [1, 2), subtract 1."""
+    m = lax.shift_right_logical(bits, 9)
+    fb = jnp.bitwise_or(m, jnp.int32(0x3F800000))
+    return pltpu.bitcast(fb, jnp.float32) - 1.0
+
+
 @lru_cache(maxsize=32)
 def _make_mc_kernel(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
                     dust_cfg: DustPriorConfig, n_mc, nmc_pad,
-                    use_feh, use_loga, use_dust, use_gal):
+                    use_feh, use_loga, use_dust, use_gal,
+                    kernel_rng=False):
     g = gal_cfg
     t0, t1, t2 = (float(x) for x in _T)
     avmin, avmax = cfg.avlim
@@ -102,8 +112,19 @@ def _make_mc_kernel(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
     age_c = [_age_consts(g, mu) for mu, _ in comps]
     LN10 = math.log(10.0)
 
-    def kernel(tab_ref, scal_ref, dust_ref, z_ref,
-               lnmc_ref, dist_ref, red_ref, dred_ref, agg_ref):
+    def kernel(*refs):
+        if kernel_rng:
+            (seed_ref, tab_ref, scal_ref, dust_ref,
+             lnmc_ref, dist_ref, red_ref, dred_ref, agg_ref) = refs
+            b = pl.program_id(0)
+            # Distinct stream per (star, model tile); Mosaic's
+            # prng_seed takes at most two values, so fold the tile
+            # index into the second word.
+            pltpu.prng_seed(seed_ref[b, 0],
+                            seed_ref[b, 1] + pl.program_id(1))
+        else:
+            (tab_ref, scal_ref, dust_ref, z_ref,
+             lnmc_ref, dist_ref, red_ref, dred_ref, agg_ref) = refs
         tab = tab_ref[0]                       # (16, T)
         row = lambda i: tab[i:i + 1, :]        # (1, T)
         sc = scal_ref[0]                       # (1, 16)
@@ -148,9 +169,27 @@ def _make_mc_kernel(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
         n_chunks = nmc_pad // 8
         for c in range(n_chunks):
             sl = slice(c * 8, (c + 1) * 8)
-            z0 = z_ref[0, 0, sl, :]            # (8, T)
-            z1 = z_ref[0, 1, sl, :]
-            z2 = z_ref[0, 2, sl, :]
+            if kernel_rng:
+                # Box-Muller from in-kernel random bits: no threefry
+                # generation nor a (B, 3, NMC_PAD, K) HBM round trip.
+                shp = (8, tab.shape[1])
+                u1 = jnp.maximum(
+                    _bits_to_uniform(pltpu.prng_random_bits(shp)), 1e-7)
+                u2 = _bits_to_uniform(pltpu.prng_random_bits(shp))
+                u3 = jnp.maximum(
+                    _bits_to_uniform(pltpu.prng_random_bits(shp)), 1e-7)
+                u4 = _bits_to_uniform(pltpu.prng_random_bits(shp))
+                r1 = jnp.sqrt(-2.0 * jnp.log(u1))
+                a1 = (2.0 * math.pi) * u2
+                r2 = jnp.sqrt(-2.0 * jnp.log(u3))
+                a2 = (2.0 * math.pi) * u4
+                z0 = r1 * jnp.cos(a1)
+                z1 = r1 * jnp.sin(a1)
+                z2 = r2 * jnp.cos(a2)
+            else:
+                z0 = z_ref[0, 0, sl, :]        # (8, T)
+                z1 = z_ref[0, 1, sl, :]
+                z2 = z_ref[0, 2, sl, :]
             # MVN transform (utils.mvn3_transform).
             s = mean_s + L00 * z0
             a = mean_a + L10 * z0 + L11 * z1
@@ -264,38 +303,61 @@ def _make_mc_kernel(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
 @lru_cache(maxsize=32)
 def _make_mc_call(cfg, gal_cfg, dust_cfg, n_mc, nmc_pad, use_feh,
                   use_loga, use_dust, use_gal, B, K, tile, dtype,
-                  interpret):
+                  interpret, kernel_rng=False):
     num_tiles = K // tile
     kern = _make_mc_kernel(cfg, gal_cfg, dust_cfg, n_mc, nmc_pad,
-                           use_feh, use_loga, use_dust, use_gal)
-    draw_spec = pl.BlockSpec((1, nmc_pad, tile), lambda b, t: (b, 0, t),
+                           use_feh, use_loga, use_dust, use_gal,
+                           kernel_rng)
+    draw_spec = pl.BlockSpec((1, nmc_pad, tile), lambda b, t, *_: (b, 0, t),
                              memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, N_TAB_ROWS, tile), lambda b, t, *_: (b, 0, t),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, N_SCALARS), lambda b, t, *_: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, NL_PAD, 8), lambda b, t, *_: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [draw_spec, draw_spec, draw_spec, draw_spec,
+                 pl.BlockSpec((1, 8, tile), lambda b, t, *_: (b, 0, t),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((B, nmc_pad, K), dtype)] * 4 \
+        + [jax.ShapeDtypeStruct((B, 8, K), dtype)]
+    # The fully-unrolled chunk loop sits right at the 16 MB default
+    # scoped-VMEM limit (v5e has 128 MB); give Mosaic headroom.
+    params = {} if interpret else dict(
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024))
+    if kernel_rng:
+        # (B, 2) int32 seeds ride as scalar prefetch (SMEM).
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, num_tiles),
+            in_specs=in_specs,
+            out_specs=out_specs,
+        )
+        return pl.pallas_call(kern, grid_spec=grid_spec,
+                              out_shape=out_shape, interpret=interpret,
+                              **params)
+    in_specs.append(
+        pl.BlockSpec((1, 3, nmc_pad, tile), lambda b, t, *_: (b, 0, 0, t),
+                     memory_space=pltpu.VMEM))
     return pl.pallas_call(
         kern,
         grid=(B, num_tiles),
-        in_specs=[
-            pl.BlockSpec((1, N_TAB_ROWS, tile), lambda b, t: (b, 0, t),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N_SCALARS), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NL_PAD, 8), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, nmc_pad, tile), lambda b, t: (b, 0, 0, t),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[draw_spec, draw_spec, draw_spec, draw_spec,
-                   pl.BlockSpec((1, 8, tile), lambda b, t: (b, 0, t),
-                                memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((B, nmc_pad, K), dtype)] * 4
-        + [jax.ShapeDtypeStruct((B, 8, K), dtype)],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
+        **params,
     )
 
 
-def mc_integrate(tab, scal, dusttab, z, n_mc,
+def mc_integrate(tab, scal, dusttab, n_mc, nmc_pad,
                  cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
                  dust_cfg: DustPriorConfig, use_feh, use_loga, use_dust,
-                 use_gal=True, tile=256, interpret=None):
+                 use_gal=True, tile=256, interpret=None, z=None,
+                 seeds=None):
     """Run the fused MC-integration kernel (eager dispatch).
 
     Parameters
@@ -303,7 +365,10 @@ def mc_integrate(tab, scal, dusttab, z, n_mc,
     tab : (B, 16, K) per-model rows (see ROW_* layout).
     scal : (B, 1, 16) per-star scalars (see SC_* layout).
     dusttab : (B, 128, 8) dust ladder (col 0 mean, col 1 std).
-    z : (B, 3, NMC_PAD, K) standard-normal draws.
+    z : (B, 3, NMC_PAD, K) standard-normal draws, or None with
+        `seeds` (B, 2) int32 to generate draws in-kernel (Box-Muller
+        from the hardware PRNG; TPU only — interpret mode lacks
+        `prng_seed`).
 
     Returns
     -------
@@ -311,15 +376,19 @@ def mc_integrate(tab, scal, dusttab, z, n_mc,
     the `(B, 8, K)` aggregate (row 0 = logsumexp over draws, row 1 =
     in-bounds count).
     """
-    B, _, nmc_pad, K = z.shape
+    B, _, K = tab.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     t = tile
     while K % t:
         t //= 2
+    kernel_rng = seeds is not None
     call = _make_mc_call(cfg, gal_cfg, dust_cfg, int(n_mc), int(nmc_pad),
                          bool(use_feh), bool(use_loga), bool(use_dust),
-                         bool(use_gal), B, K, t, str(z.dtype), interpret)
+                         bool(use_gal), B, K, t, str(tab.dtype),
+                         interpret, kernel_rng)
+    if kernel_rng:
+        return call(seeds, tab, scal, dusttab)
     return call(tab, scal, dusttab, z)
 
 

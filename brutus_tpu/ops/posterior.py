@@ -31,6 +31,23 @@ from ..priors import (gal_lnprior, dust_lnprior, parallax_lnprior,
 NEG_BIG = -1e30
 
 
+def _categorical_cdf(key, logits, n):
+    """`n` categorical draws by inverse-CDF sampling.
+
+    Statistically identical to `jax.random.categorical` but ~10x
+    cheaper on TPU: the gumbel construction materializes `(n, K)`
+    noise (log+add) and argmax-reduces it, while the CDF inversion is
+    one cumsum plus an `(n, K)` compare-and-count.  (Different use of
+    the key than the gumbel version — draw-level results differ,
+    distributions match.)
+    """
+    wt = jax.nn.softmax(logits)
+    cdf = jnp.cumsum(wt)
+    u = jax.random.uniform(key, (n,), logits.dtype) * cdf[-1]
+    idx = jnp.sum(cdf[None, :] < u[:, None], axis=1)
+    return jnp.clip(idx, 0, logits.shape[0] - 1).astype(jnp.int32)
+
+
 def _cull_mask(lnp, wt_thresh, cdf_thresh, base_mask=None):
     """Relative-weight or CDF threshold culling mask.
 
@@ -325,7 +342,7 @@ def lnpost_grid(key, results, lnprior_grid, coord,
     log_evid = logsumexp(lnp_sel)
 
     # --- weighted categorical resampling (fitting.py:2035-2057) ---
-    idxs = jax.random.categorical(kidx, lnp_sel, shape=(cfg.n_draws,))
+    idxs = _categorical_cdf(kidx, lnp_sel, cfg.n_draws)
     imc = jax.random.categorical(kmc, lnp_mc[idxs], axis=-1)
     gat = lambda x: x[idxs]
     draw = lambda x: x[idxs, imc]
@@ -352,7 +369,8 @@ from functools import lru_cache
 @lru_cache(maxsize=32)
 def _batch_fns(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
                dust_cfg: DustPriorConfig, apply_av_prior,
-               has_feh, has_loga, has_dust, has_global):
+               has_feh, has_loga, has_dust, has_global,
+               use_krng=False):
     """Cached jitted pre/post halves of `lnpost_batch` (the MC kernel
     dispatches eagerly in between)."""
     from .pallas_mc import N_TAB_ROWS, N_SCALARS, NL_PAD
@@ -375,14 +393,22 @@ def _batch_fns(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
         K = sel["lnp_sel"].shape[0]
         kmvn, kidx, kmc = jax.random.split(key, 3)
 
-        # Same draw layout/keys as the XLA path (`lnpost_grid`), so the
-        # two paths agree beyond RNG noise.
         L = cholesky3_stable(sel["cov_k"]
                              + cfg.mvn_eps * jnp.eye(3, dtype=dtype))
-        z = jax.random.normal(kmvn, (K, 3, nmc), dtype=dtype)
-        zt = jnp.transpose(z, (1, 2, 0))             # (3, nmc, K)
-        if nmcp != nmc:
-            zt = jnp.pad(zt, ((0, 0), (0, nmcp - nmc), (0, 0)))
+        if use_krng:
+            # Hardware-PRNG path: only a per-star seed leaves the host
+            # of this stage.
+            zt = None
+            seeds = jax.random.randint(kmvn, (2,), 0, 2 ** 31 - 1,
+                                       dtype=jnp.int32)
+        else:
+            # Same draw layout/keys as the XLA path (`lnpost_grid`),
+            # so the two paths agree beyond float association.
+            z = jax.random.normal(kmvn, (K, 3, nmc), dtype=dtype)
+            zt = jnp.transpose(z, (1, 2, 0))         # (3, nmc, K)
+            if nmcp != nmc:
+                zt = jnp.pad(zt, ((0, 0), (0, nmcp - nmc), (0, 0)))
+            seeds = None
 
         zero = jnp.zeros((K,), dtype)
         rows = [sel["scale_k"], sel["av_k"], sel["rv_k"],
@@ -438,6 +464,7 @@ def _batch_fns(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
         sel["kidx"], sel["kmc"] = kidx, kmc
         sel["tab"], sel["scal"] = tab, scal[None, :]
         sel["dusttab"], sel["z"] = dusttab, zt
+        sel["seeds"] = seeds
         if not has_feh:
             sel.pop("feh_k")
         if not has_loga:
@@ -451,8 +478,7 @@ def _batch_fns(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
         lnp_sel = jnp.where(valid & jnp.isfinite(lnp_sel) & (neff > 0),
                             lnp_sel, NEG_BIG)
         log_evid = logsumexp(lnp_sel)
-        idxs = jax.random.categorical(sel["kidx"], lnp_sel,
-                                      shape=(cfg.n_draws,))
+        idxs = _categorical_cdf(sel["kidx"], lnp_sel, cfg.n_draws)
         # The kernel emits draw fields as (NMC_PAD, K); transpose once
         # (streaming copy) so the resampling gathers below are
         # model-major ROW gathers — lane-direction (:, idxs) gathers
@@ -515,6 +541,10 @@ def lnpost_batch(keys, results, lnprior_grid, coord,
     has_loga = loga is not None
     has_dust = dust_profile is not None
     has_global = global_idx is not None
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    # Interpret mode lacks `prng_seed`; fall back to threefry normals.
+    use_krng = bool(cfg.kernel_rng) and not interpret
 
     coord = jnp.broadcast_to(jnp.asarray(coord, dtype), (B, 2))
     if parallax is None:
@@ -540,16 +570,18 @@ def lnpost_batch(keys, results, lnprior_grid, coord,
     gidx_a = global_idx if has_global else jnp.zeros(lnp.shape, jnp.int32)
 
     pre_v, post_v = _batch_fns(cfg, gal_cfg, dust_cfg, bool(apply_av_prior),
-                               has_feh, has_loga, has_dust, has_global)
+                               has_feh, has_loga, has_dust, has_global,
+                               use_krng)
     sel = pre_v(keys, results, lnprior_grid, coord, parallax,
                 parallax_err, feh_a, loga_a, av_mean, av_std, av_dist,
                 gidx_a)
+    nmcp = -(-cfg.n_mc_prior // 8) * 8
     lnmc, dist_k, red_k, dred_k, agg = mc_integrate(
-        sel["tab"], sel["scal"], sel["dusttab"], sel["z"],
-        cfg.n_mc_prior, cfg, gal_cfg, dust_cfg,
+        sel["tab"], sel["scal"], sel["dusttab"],
+        cfg.n_mc_prior, nmcp, cfg, gal_cfg, dust_cfg,
         use_feh=has_feh, use_loga=has_loga,
         use_dust=has_dust and apply_av_prior, tile=tile,
-        interpret=interpret)
+        interpret=interpret, z=sel["z"], seeds=sel["seeds"])
     return post_v(sel, lnmc, dist_k, red_k, dred_k, agg, gidx_a)
 
 
