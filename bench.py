@@ -87,6 +87,11 @@ def main():
     ap.add_argument("--mag-iters", type=int, default=6)
     ap.add_argument("--flux-iters", type=int, default=6)
     ap.add_argument("--mc-tile", type=int, default=256)
+    ap.add_argument("--breakdown", action="store_true",
+                    help="funnel engine only: time cumulative stage "
+                         "prefixes (screen / +gather / +fit / +select / "
+                         "+mc / full) and report per-stage ms in the "
+                         "JSON line")
     args = ap.parse_args()
 
     if args.smoke:
@@ -340,6 +345,76 @@ def main():
 
     stars_per_sec = B * args.iters / dt
     ref_secs_per_star = 1.716          # BASELINE.md, Overview 3 MIST grid
+
+    # --- per-stage breakdown (funnel engine): time cumulative stage
+    # prefixes on the same varied batches; adjacent differences are the
+    # per-stage costs.  Each prefix is its own jit, so stage boundaries
+    # lose a little fusion — the FULL prefix is the honest headline and
+    # the deltas are diagnostics. ---
+    breakdown_info = {}
+    if args.breakdown and args.engine == "fused" and args.screen:
+        from brutus_tpu.ops.pallas_loglike import (prepare_screen,
+                                                   loglike_grid_screened)
+        from brutus_tpu.ops.posterior import lnpost_batch
+        coeffs_t, packed, aux_names, n_real, maskrow = prepare_screen(
+            mc, aux=dict(lnprior=np.zeros(M, np.float32),
+                         feh=feh.astype(np.float32),
+                         loga=loga.astype(np.float32)),
+            tile=args.tile)
+
+        def make_prefix(stop_ll, stop_post):
+            def fn(ct, pk, mr, keys, f, e, plx, plx_err):
+                res = loglike_grid_screened(
+                    f, e, jnp.ones_like(f, bool), ct, pk, mr, n_real,
+                    parallax=plx, parallax_err=plx_err, cfg=fit_cfg,
+                    tile=args.tile, screen_k=args.screen,
+                    screen_block=args.screen_block, aux_names=aux_names,
+                    stop_after=stop_ll)
+                if stop_ll is not None:
+                    return res
+                gidx = res.pop("global_idx")
+                aux = res.pop("aux")
+                if stop_post == "loglike":
+                    return res
+                return lnpost_batch(keys, res, aux["lnprior"], coord,
+                                    parallax=plx, parallax_err=plx_err,
+                                    feh=aux["feh"], loga=aux["loga"],
+                                    dust_profile=(dust_dist, dust_mean,
+                                                  dust_std),
+                                    global_idx=gidx, cfg=post_cfg,
+                                    tile=args.mc_tile,
+                                    stop_after=stop_post)
+            return jax.jit(fn)
+
+        stages = [("screen", ("screen", None)),
+                  ("gather", ("gather", None)),
+                  ("fit", (None, "loglike")),
+                  ("select", (None, "select")),
+                  ("mc", (None, "mc")),
+                  ("full", (None, None))]
+        cum = {}
+        for name, (s_ll, s_post) in stages:
+            pfn = make_prefix(s_ll, s_post)
+            o = pfn(coeffs_t, packed, maskrow, keys, fx, ex, px, pxe)
+            jax.block_until_ready(o)             # compile
+            t0 = time.perf_counter()
+            outs_b = []
+            for i in range(args.iters):
+                kk = jax.random.split(jax.random.PRNGKey(i + 1), B)
+                f_i, e_i, p_i, pe_i = batches[i]
+                outs_b.append(pfn(coeffs_t, packed, maskrow, kk,
+                                  f_i, e_i, p_i, pe_i))
+            jax.block_until_ready(outs_b)
+            cum[name] = (time.perf_counter() - t0) * 1e3 / args.iters
+            print(f"# breakdown cum {name}: {cum[name]:.2f} ms/batch",
+                  file=sys.stderr)
+        names = [s[0] for s in stages]
+        deltas = {"screen_ms": cum["screen"]}
+        for prev, cur in zip(names, names[1:]):
+            deltas[f"{cur}_ms"] = round(cum[cur] - cum[prev], 3)
+        deltas["screen_ms"] = round(deltas["screen_ms"], 3)
+        deltas["full_ms_per_batch"] = round(cum["full"], 3)
+        breakdown_info = {"breakdown": deltas}
     stage = "loglike" if args.loglike_only else "full_fit"
     result = {
         "metric": f"stars_per_sec_{stage}_{M//1000}k_models_{args.engine}",
@@ -352,6 +427,7 @@ def main():
         "true_model_hit_rate": round(float(hit), 4),
     }
     result.update(verify_info)
+    result.update(breakdown_info)
     print(json.dumps(result))
 
 

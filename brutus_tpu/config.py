@@ -72,7 +72,14 @@ class FitConfig:
     # inverse), which cuts the iteration count several-fold.  The
     # alternating loop still runs to the same tolerance afterwards, so
     # converged results are unchanged; disable for strict step-by-step
-    # parity with the reference trajectory.
+    # parity with the reference trajectory.  Affects the XLA engine
+    # only: the fused Pallas kernel ALWAYS direct-seeds, because its
+    # fixed iteration budgets (below) are sized assuming the seed —
+    # without it some stars exhaust the budget under-converged
+    # (round 2's multi-nat cross-engine evidence divergence).
+    # `BruteForce.fit` defaults this ON (production path); the bare
+    # default here stays False so `loglike_grid` keeps reference
+    # semantics for oracle golden tests.
     mag_direct_init: bool = False
 
     # Large-but-float32-safe stand-in for the reference's 1e50 variance

@@ -338,7 +338,8 @@ class BruteForce:
             save_dar_draws=True, running_io=True, verbose=True,
             batch_size=16, n_sel_max=4096, seed=0, resume=False,
             return_results=False, return_sel=False, mesh=None,
-            engine=None, tile=512, screen_k=8192, _yield_batches=False):
+            engine=None, tile=512, screen_k=8192, mag_direct_init=True,
+            _yield_batches=False):
         """Fit every star against the grid and write the results file.
 
         Parity: reference `brutus/fitting.py:1426-1801` (same defaults,
@@ -375,7 +376,12 @@ class BruteForce:
                             ltol=ltol, ltol_subthresh=ltol_subthresh,
                             init_thresh=logl_initthresh,
                             dim_prior=logl_dim_prior,
-                            screen_k=int(screen_k))
+                            screen_k=int(screen_k),
+                            # Production default ON (the fused kernel
+                            # always direct-seeds; this turns it on for
+                            # the XLA engine too — same converged
+                            # results, several-fold fewer iterations).
+                            mag_direct_init=bool(mag_direct_init))
         post_cfg = PosteriorConfig(n_mc_prior=Nmc_prior,
                                    wt_thresh=wt_thresh,
                                    cdf_thresh=cdf_thresh, n_draws=Ndraws,

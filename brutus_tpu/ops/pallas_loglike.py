@@ -148,38 +148,38 @@ def _make_kernel(cfg: FitConfig, per_star=False):
                     s_den, a_den, r_den, sa, sr, ar)
 
         # ---- phase A seed: direct 3x3 WLS solve of (mu, Av, Av*Rv) ----
-        # (the same closed-form seed as ops.optimize.direct_mag_init)
-        if cfg.mag_direct_init:
-            resid0 = mags - mag0                      # (F, G, T)
-            a00 = jnp.sum(wtm, axis=0)                # (G, 1)
-            a01 = fsum(r0 * wtm)                      # (G, T)
-            a02 = fsum(dr * wtm)
-            a11 = fsum(r0 * r0 * wtm) + avvi
-            a12 = fsum(r0 * dr * wtm)
-            a22 = fsum(dr * dr * wtm)
-            b0 = fsum(resid0 * wtm)
-            b1 = fsum(resid0 * r0 * wtm) + avm * avvi
-            b2 = fsum(resid0 * dr * wtm)
-            det = (a00 * (a11 * a22 - a12 * a12)
-                   - a01 * (a01 * a22 - a12 * a02)
-                   + a02 * (a01 * a12 - a11 * a02))
-            det1 = (a00 * (b1 * a22 - a12 * b2)
-                    - b0 * (a01 * a22 - a12 * a02)
-                    + a02 * (a01 * b2 - b1 * a02))
-            det2 = (a00 * (a11 * b2 - b1 * a12)
-                    - a01 * (a01 * b2 - b1 * a02)
-                    + b0 * (a01 * a12 - a11 * a02))
-            safe_det = jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
-            av = jnp.clip(det1 / safe_det, avmin, avmax)
-            avrv = det2 / safe_det
-            rv = jnp.where(jnp.abs(av) > 1e-10,
-                           avrv / jnp.where(jnp.abs(av) > 1e-10, av, 1.0),
-                           rvm)
-            rv = jnp.clip(rv, rvmin, rvmax)
-        else:
-            one = jnp.ones((GROUP, mag0.shape[2]), mag0.dtype)
-            av = cfg.av0 * one
-            rv = cfg.rv0 * one
+        # (the same closed-form seed as ops.optimize.direct_mag_init).
+        # ALWAYS on, independent of cfg.mag_direct_init: the fixed
+        # unrolled budgets below are sized assuming this seed; from the
+        # constant (av0, rv0) start some stars exhaust the budget
+        # under-converged (multi-nat evidence errors vs the XLA
+        # engine's to-tolerance while_loop).
+        resid0 = mags - mag0                      # (F, G, T)
+        a00 = jnp.sum(wtm, axis=0)                # (G, 1)
+        a01 = fsum(r0 * wtm)                      # (G, T)
+        a02 = fsum(dr * wtm)
+        a11 = fsum(r0 * r0 * wtm) + avvi
+        a12 = fsum(r0 * dr * wtm)
+        a22 = fsum(dr * dr * wtm)
+        b0 = fsum(resid0 * wtm)
+        b1 = fsum(resid0 * r0 * wtm) + avm * avvi
+        b2 = fsum(resid0 * dr * wtm)
+        det = (a00 * (a11 * a22 - a12 * a12)
+               - a01 * (a01 * a22 - a12 * a02)
+               + a02 * (a01 * a12 - a11 * a02))
+        det1 = (a00 * (b1 * a22 - a12 * b2)
+                - b0 * (a01 * a22 - a12 * a02)
+                + a02 * (a01 * b2 - b1 * a02))
+        det2 = (a00 * (a11 * b2 - b1 * a12)
+                - a01 * (a01 * b2 - b1 * a02)
+                + b0 * (a01 * a12 - a11 * a02))
+        safe_det = jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+        av = jnp.clip(det1 / safe_det, avmin, avmax)
+        avrv = det2 / safe_det
+        rv = jnp.where(jnp.abs(av) > 1e-10,
+                       avrv / jnp.where(jnp.abs(av) > 1e-10, av, 1.0),
+                       rvm)
+        rv = jnp.clip(rv, rvmin, rvmax)
 
         # ---- phase A: alternating clamped (Av, Rv) 2x2 solves, fixed
         # unrolled budget.  Like the reference, EVERY model is updated
@@ -680,7 +680,7 @@ def loglike_grid_screened(flux, fluxerr, mask, coeffs_t, packed, maskrow,
                           n_real, parallax=None, parallax_err=None,
                           cfg: FitConfig = FitConfig(), tile=512,
                           screen_k=16384, screen_block=256,
-                          aux_names=(), interpret=None):
+                          aux_names=(), interpret=None, stop_after=None):
     """Funnel likelihood: screen all M models, fully fit the top-P.
 
     Stage 1 scores every model with a direct magnitude-space 3x3 WLS
@@ -744,11 +744,15 @@ def loglike_grid_screened(flux, fluxerr, mask, coeffs_t, packed, maskrow,
     screen = _make_screen_call(cfg, Bp, F, M, tile, str(dtype), interpret)
     score = screen(grp(mags), grp(wt_mag), vec(plx), vec(plxw), maskrow,
                    coeffs_t)
+    if stop_after == "screen":     # bench --breakdown probe
+        return score
 
     bidx, idx = _select_blocks(score, nb, block)
     gather = _make_gather_call(packed.shape[0], M, Bp, nb, block,
                                interpret)
     coeffs2, aux = _unpack_gather(gather(bidx, packed), 3 * F, Bp)
+    if stop_after == "gather":     # bench --breakdown probe
+        return coeffs2, aux, idx
 
     call = _make_call(cfg, Bp, F, P, tile2, str(dtype), interpret,
                       per_star=True)

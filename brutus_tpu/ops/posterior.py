@@ -30,6 +30,18 @@ from ..priors import (gal_lnprior, dust_lnprior, parallax_lnprior,
 
 NEG_BIG = -1e30
 
+# NEG_BIG is deliberately finite (float32-safe), which means a bare
+# `jnp.isfinite` test PASSES invalidated entries.  Every validity check
+# must therefore also threshold: anything at or below VALID_MIN is a
+# flag value, not a log-probability (real log-posteriors are > -1e6).
+VALID_MIN = 0.5 * NEG_BIG
+
+
+def _is_valid(x):
+    """True where `x` is a real log-probability (finite and not a
+    NEG_BIG flag)."""
+    return jnp.isfinite(x) & (x > VALID_MIN)
+
 
 def _categorical_cdf(key, logits, n):
     """`n` categorical draws by inverse-CDF sampling.
@@ -63,13 +75,19 @@ def _cull_mask(lnp, wt_thresh, cdf_thresh, base_mask=None):
     if base_mask is not None:
         lnp = jnp.where(base_mask, lnp, -jnp.inf)
     if wt_thresh is not None:
-        mask = lnp > jnp.max(lnp) + math.log(wt_thresh)
+        # Floor the threshold above the NEG_BIG flag: when EVERY model
+        # is invalid, max(lnp) + log(wt_thresh) < NEG_BIG and the naive
+        # comparison would pass all of them (the round-2 real-Orion
+        # degenerate-star bug).
+        mask = lnp > jnp.maximum(jnp.max(lnp) + math.log(wt_thresh),
+                                 VALID_MIN)
     else:
         order = jnp.argsort(-lnp)
         prob = jax.nn.softmax(lnp[order])
         cdf = jnp.cumsum(prob)
         keep_sorted = (cdf - prob) <= (1.0 - cdf_thresh)  # include crosser
         mask = jnp.zeros_like(keep_sorted).at[order].set(keep_sorted)
+        mask = mask & (lnp > VALID_MIN)   # never keep NEG_BIG flags
     if base_mask is not None:
         mask = mask & base_mask
     return mask
@@ -107,6 +125,25 @@ def _psd_repair(icov, cov, scale, valid, cfg: PosteriorConfig):
         return icov, cov
 
     icov, cov = jax.lax.fori_loop(0, cfg.psd_max_passes, body, (icov, cov))
+
+    # Terminal fallback (the reference's repair loop is unbounded,
+    # fitting.py:1042-1065; our pass count is static): any covariance
+    # still non-PSD after the escalation passes collapses to a positive
+    # diagonal matrix — variances kept where positive, else the repair
+    # prior's own widths.  Applied to EVERY row (not just `valid`):
+    # invalid models can still be resampled by the degenerate-star
+    # fallback, so their Cholesky must never see NaN either.
+    still_bad = ~is_psd3(cov)
+    d0, d1, d2 = cov[:, 0, 0], cov[:, 1, 1], cov[:, 2, 2]
+    w0 = jnp.maximum(sfrac ** 2, 1e-30)
+    f0 = jnp.where((d0 > 0) & jnp.isfinite(d0), d0, w0)
+    f1 = jnp.where((d1 > 0) & jnp.isfinite(d1), d1, width ** 2)
+    f2 = jnp.where((d2 > 0) & jnp.isfinite(d2), d2, width ** 2)
+    diag = jnp.stack([f0, f1, f2], axis=-1)
+    eye = jnp.eye(3, dtype=cov.dtype)
+    bad = still_bad[:, None, None]
+    cov = jnp.where(bad, eye * diag[..., None, :], cov)
+    icov = jnp.where(bad, eye * (1.0 / diag)[..., None, :], icov)
     return icov, cov
 
 
@@ -180,12 +217,17 @@ def _select_stage(results, lnprior_grid, coord,
 
     # --- cull #1 on likelihood (+parallax) (fitting.py:987-997) ---
     if cfg.wt_thresh is not None:
-        mask1 = lnprob > lnprob_max + math.log(cfg.wt_thresh)
+        # Same VALID_MIN floor as `_cull_mask`: all-invalid stars must
+        # produce an all-False mask, not an all-True one.
+        mask1 = lnprob > jnp.maximum(lnprob_max + math.log(cfg.wt_thresh),
+                                     VALID_MIN)
     else:
         mask1 = _cull_mask(lnprob, None, cfg.cdf_thresh)
 
     # --- MLE-solution priors (fitting.py:999-1010) ---
-    dist = 1.0 / jnp.sqrt(jnp.maximum(scale, 1e-300))
+    # 1e-30 floor (not 1e-300, which underflows to 0 in float32 and
+    # turns `dist` into inf); matches the fused MC kernel's clamp.
+    dist = 1.0 / jnp.sqrt(jnp.maximum(scale, 1e-30))
     lnp_mle = lnlike + lnprior_grid
     lnp_mle = lnp_mle + gal_lnprior(dist, coord, feh=feh_s, loga=loga_s,
                                     cfg=gal_cfg)
@@ -193,7 +235,7 @@ def _select_stage(results, lnprior_grid, coord,
         av_dist, av_mean, av_std = dust_profile
         lnp_mle = lnp_mle + dust_lnprior(dist, av, av_dist, av_mean,
                                          av_std, dust_cfg)
-    lnp_mle = jnp.where(mask1 & jnp.isfinite(lnp_mle), lnp_mle, NEG_BIG)
+    lnp_mle = jnp.where(mask1 & _is_valid(lnp_mle), lnp_mle, NEG_BIG)
 
     # --- cull #2 on posterior, then re-base to lnlike + static prior
     # (fitting.py:1012-1023) ---
@@ -214,7 +256,7 @@ def _select_stage(results, lnprior_grid, coord,
         # Global model indices for the outputs; local for the gathers.
         sel_idx = pre_idx[sel_loc] if pre_idx is not None else sel_loc
         take_local = lambda x: x[sel_loc]
-    valid = jnp.isfinite(lnp_sel)
+    valid = _is_valid(lnp_sel)
     lnp_sel = jnp.where(valid, lnp_sel, NEG_BIG)
     scale_k, av_k = take_local(scale), take_local(av)
     # Fields the prior stage never read are gathered here for the first
@@ -250,7 +292,13 @@ def _select_stage(results, lnprior_grid, coord,
     chi2_k = chi2_k + jnp.where(
         have_plx, (jnp.sqrt(scale_k) - parallax) ** 2 / perr_safe ** 2, 0.0)
     ndim_out = ndim + have_plx.astype(ndim.dtype)
-    chi2min = jnp.min(jnp.where(valid, chi2_k, jnp.inf))
+    # When no model survives the culls (degenerate star), fall back to
+    # the best finite chi2 over the selection so the bookkeeping output
+    # stays defined.
+    chi2_fin = jnp.where(jnp.isfinite(chi2_k), chi2_k, jnp.inf)
+    chi2min_v = jnp.min(jnp.where(valid, chi2_fin, jnp.inf))
+    chi2min = jnp.where(jnp.isfinite(chi2min_v), chi2min_v,
+                        jnp.min(chi2_fin))
 
     return dict(lnp_sel=lnp_sel, valid=valid, sel_idx=sel_idx,
                 scale_k=scale_k, av_k=av_k, rv_k=rv_k, cov_k=cov_k,
@@ -316,7 +364,9 @@ def lnpost_grid(key, results, lnprior_grid, coord,
     samps = mvn3_transform(mean, L, z)                        # (K, 3, Nmc)
     s_mc, a_mc, r_mc = samps[:, 0], samps[:, 1], samps[:, 2]  # (K, Nmc)
 
-    par_mc = jnp.sqrt(jnp.maximum(s_mc, 1e-300))
+    # 1e-30 floor, not 1e-300: the latter underflows to 0 in float32,
+    # making `dist_mc` inf (matches the fused kernel's clamp).
+    par_mc = jnp.sqrt(jnp.maximum(s_mc, 1e-30))
     dist_mc = 1.0 / par_mc
     lnp_mc = gal_lnprior(dist_mc, coord,
                          feh=(feh_k[:, None] if feh_k is not None else None),
@@ -334,7 +384,7 @@ def lnpost_grid(key, results, lnprior_grid, coord,
     n_eff = jnp.sum(inbounds, axis=1)
     lnp_sel = lnp_sel + logsumexp(lnp_mc, axis=1) - jnp.log(
         jnp.maximum(n_eff, 1))
-    lnp_sel = jnp.where(valid & jnp.isfinite(lnp_sel) & (n_eff > 0),
+    lnp_sel = jnp.where(valid & _is_valid(lnp_sel) & (n_eff > 0),
                         lnp_sel, NEG_BIG)
 
     # --- evidence (fitting.py:2024-2034; chi2/Ndim bookkeeping lives
@@ -342,7 +392,15 @@ def lnpost_grid(key, results, lnprior_grid, coord,
     log_evid = logsumexp(lnp_sel)
 
     # --- weighted categorical resampling (fitting.py:2035-2057) ---
-    idxs = _categorical_cdf(kidx, lnp_sel, cfg.n_draws)
+    # Degenerate-star fallback: if EVERY model was invalidated (the
+    # reference errors out of such stars; we emit defined output), draw
+    # proportional to exp(-chi2/2) over the selection instead of the
+    # uniform-categorical garbage an all-NEG_BIG softmax produces.
+    # `log_evidence` stays ~NEG_BIG, flagging the star.
+    chi2_draw = jnp.where(jnp.isfinite(chi2_k), chi2_k, 1e30)
+    any_ok = jnp.any(_is_valid(lnp_sel))
+    draw_logits = jnp.where(any_ok, lnp_sel, -0.5 * chi2_draw)
+    idxs = _categorical_cdf(kidx, draw_logits, cfg.n_draws)
     imc = jax.random.categorical(kmc, lnp_mc[idxs], axis=-1)
     gat = lambda x: x[idxs]
     draw = lambda x: x[idxs, imc]
@@ -475,10 +533,16 @@ def _batch_fns(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
         lnp_sel, valid = sel["lnp_sel"], sel["valid"]
         lse, neff = agg[0], agg[1]
         lnp_sel = lnp_sel + lse - jnp.log(jnp.maximum(neff, 1.0))
-        lnp_sel = jnp.where(valid & jnp.isfinite(lnp_sel) & (neff > 0),
+        lnp_sel = jnp.where(valid & _is_valid(lnp_sel) & (neff > 0),
                             lnp_sel, NEG_BIG)
         log_evid = logsumexp(lnp_sel)
-        idxs = _categorical_cdf(sel["kidx"], lnp_sel, cfg.n_draws)
+        # Degenerate-star fallback (see `lnpost_grid`): all-invalid
+        # stars resample by exp(-chi2/2) instead of uniform garbage.
+        chi2_draw = jnp.where(jnp.isfinite(sel["chi2_k"]),
+                              sel["chi2_k"], 1e30)
+        any_ok = jnp.any(_is_valid(lnp_sel))
+        draw_logits = jnp.where(any_ok, lnp_sel, -0.5 * chi2_draw)
+        idxs = _categorical_cdf(sel["kidx"], draw_logits, cfg.n_draws)
         # The kernel emits draw fields as (NMC_PAD, K); transpose once
         # (streaming copy) so the resampling gathers below are
         # model-major ROW gathers — lane-direction (:, idxs) gathers
@@ -515,7 +579,8 @@ def lnpost_batch(keys, results, lnprior_grid, coord,
                  cfg: PosteriorConfig = PosteriorConfig(),
                  gal_cfg: GalPriorConfig = GalPriorConfig(),
                  dust_cfg: DustPriorConfig = DustPriorConfig(),
-                 apply_av_prior=True, tile=512, interpret=None):
+                 apply_av_prior=True, tile=512, interpret=None,
+                 stop_after=None):
     """Batched `lnpost_grid` with the Monte-Carlo integration fused
     into one Pallas kernel (`ops.pallas_mc`).
 
@@ -575,6 +640,8 @@ def lnpost_batch(keys, results, lnprior_grid, coord,
     sel = pre_v(keys, results, lnprior_grid, coord, parallax,
                 parallax_err, feh_a, loga_a, av_mean, av_std, av_dist,
                 gidx_a)
+    if stop_after == "select":     # bench --breakdown probe
+        return sel
     nmcp = -(-cfg.n_mc_prior // 8) * 8
     lnmc, dist_k, red_k, dred_k, agg = mc_integrate(
         sel["tab"], sel["scal"], sel["dusttab"],
@@ -582,6 +649,8 @@ def lnpost_batch(keys, results, lnprior_grid, coord,
         use_feh=has_feh, use_loga=has_loga,
         use_dust=has_dust and apply_av_prior, tile=tile,
         interpret=interpret, z=sel["z"], seeds=sel["seeds"])
+    if stop_after == "mc":         # bench --breakdown probe
+        return (sel, lnmc, dist_k, red_k, dred_k, agg)
     return post_v(sel, lnmc, dist_k, red_k, dred_k, agg, gidx_a)
 
 

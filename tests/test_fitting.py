@@ -14,6 +14,9 @@ from brutus_tpu.ops.optimize import loglike_grid
 from brutus_tpu.ops.posterior import lnpost_grid, _psd_repair
 from brutus_tpu.utils import inverse3, is_psd3
 
+# Consumed ONLY by the module-level make_grid() call below (fixed
+# order at import); tests use per-test generators so failures
+# reproduce identically alone or in module order.
 rng = np.random.default_rng(11)
 
 NMODEL, NFILT = 256, 8
@@ -38,7 +41,9 @@ def make_grid():
     return mc, labels, mask
 
 
-def make_star(mc, idx, av, rv, dist_kpc, snr=80.0):
+def make_star(mc, idx, av, rv, dist_kpc, snr=80.0, rng=None):
+    if rng is None:   # deterministic per call signature, not call order
+        rng = np.random.default_rng(1000 + idx)
     sed = mc[idx, :, 0] + av * (mc[idx, :, 1] + rv * mc[idx, :, 2])
     flux = 10 ** (-0.4 * sed) / dist_kpc ** 2
     err = flux / snr
@@ -108,17 +113,18 @@ def test_lnpost_float64_oracle_golden():
 
     # A grid with a cluster of near-degenerate models around the truth,
     # so the culls keep a non-trivial survivor set.
+    trng = np.random.default_rng(201)
     MC2 = MC.copy()
     for k in range(40):
-        MC2[100 + k] = MC[33] + rng.normal(0, 0.03, MC[33].shape)
-    flux, err = make_star(MC2, 33, 0.5, 3.4, 1.1, snr=25.0)
+        MC2[100 + k] = MC[33] + trng.normal(0, 0.03, MC[33].shape)
+    flux, err = make_star(MC2, 33, 0.5, 3.4, 1.1, snr=25.0, rng=trng)
     parallax, parallax_err = 1.0 / 1.1, 0.15 / 1.1
     res = loglike_grid(jnp.asarray(flux), jnp.asarray(err),
                        jnp.ones(NFILT, bool), jnp.asarray(MC2),
                        parallax=jnp.asarray(parallax),
                        parallax_err=jnp.asarray(parallax_err),
                        cfg=FitConfig())
-    lnprior = np.asarray(rng.uniform(-1.0, 0.0, NMODEL))
+    lnprior = np.asarray(trng.uniform(-1.0, 0.0, NMODEL))
     dust_dist = np.linspace(0.05, 5.0, 40)
     dust_mean = np.linspace(0.0, 1.2, 40)
     dust_std = np.full(40, 0.25)
@@ -199,6 +205,39 @@ def test_lnpost_seed_stability():
     assert abs(le[0] - le[1]) < 0.2
 
 
+def test_lnpost_degenerate_star_defined_output():
+    """Zero-parallax / distant-giant corner (round 2's real-Orion NaN
+    bug): a star whose implied scale is ~1e-5 (distance ~300 kpc) with
+    a near-zero parallax drives (a) the PSD repair to exhaustion
+    (terminal diagonal fallback must engage) and (b) every model to the
+    NEG_BIG flag (which passes `jnp.isfinite` — validity checks must
+    threshold).  Output must be fully finite draws with the degenerate
+    fallback (exp(-chi2/2) resampling), never NaN/inf.
+    """
+    trng = np.random.default_rng(303)
+    flux, err = make_star(MC, 17, 0.4, 3.2, 550.0, snr=8.0, rng=trng)
+    res = loglike_grid(jnp.asarray(flux), jnp.asarray(err),
+                       jnp.ones(NFILT, bool), jnp.asarray(MC),
+                       parallax=jnp.asarray(3e-3),
+                       parallax_err=jnp.asarray(1e-2),
+                       cfg=FitConfig())
+    cfg = PosteriorConfig(n_sel_max=64, n_mc_prior=16, n_draws=50)
+    out = lnpost_grid(jax.random.PRNGKey(5), res, jnp.zeros(NMODEL),
+                      jnp.asarray(COORD),
+                      parallax=jnp.asarray(3e-3),
+                      parallax_err=jnp.asarray(1e-2),
+                      feh=jnp.asarray(LABELS["feh"], jnp.float64),
+                      loga=jnp.asarray(LABELS["loga"], jnp.float64),
+                      cfg=cfg)
+    for k in ("dist", "red", "dred", "scale", "av", "rv"):
+        assert np.isfinite(np.asarray(out[k])).all(), k
+    assert np.isfinite(float(out["log_evidence"]))
+    assert np.isfinite(np.asarray(out["cov_sar"])).all()
+    # Degenerate fallback draws still point at real models.
+    assert (np.asarray(out["model_idx"]) >= 0).all()
+    assert (np.asarray(out["model_idx"]) < NMODEL).all()
+
+
 def _dustfile(tmp_path, coords):
     nside = 64
     ls = coords[:, 0]
@@ -215,13 +254,15 @@ def _dustfile(tmp_path, coords):
 
 def test_bruteforce_end_to_end(tmp_path):
     n_star = 5
-    idxs = rng.integers(0, NMODEL, n_star)
-    true_d = rng.uniform(0.5, 2.0, n_star)
-    true_av = rng.uniform(0.1, 1.0, n_star)
+    trng = np.random.default_rng(202)
+    idxs = trng.integers(0, NMODEL, n_star)
+    true_d = trng.uniform(0.5, 2.0, n_star)
+    true_av = trng.uniform(0.1, 1.0, n_star)
     data = np.zeros((n_star, NFILT))
     errs = np.zeros((n_star, NFILT))
     for i in range(n_star):
-        data[i], errs[i] = make_star(MC, idxs[i], true_av[i], 3.2, true_d[i])
+        data[i], errs[i] = make_star(MC, idxs[i], true_av[i], 3.2,
+                                     true_d[i], rng=trng)
     mask = np.ones((n_star, NFILT), bool)
     coords = np.tile(COORD, (n_star, 1))
     parallax = 1.0 / true_d
