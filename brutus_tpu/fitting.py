@@ -127,7 +127,7 @@ def _unpack_outputs(fpack, ipack, layout):
 
 @lru_cache(maxsize=16)
 def _screened_step(fit_cfg, post_cfg, gal_cfg, dust_cfg, apply_av_prior,
-                   aux_names, n_real, tile):
+                   aux_names, n_real, tile, mesh=None):
     """ONE jitted executable for the funnel fit step: screening kernel
     + DMA slab gather + shortlist fit (`loglike_grid_screened`) + the
     fused MC-integration kernel (`lnpost_batch`) + all glue.  Per-batch
@@ -137,16 +137,26 @@ def _screened_step(fit_cfg, post_cfg, gal_cfg, dust_cfg, apply_av_prior,
     The big tables (coeffs, packed columns, mask row) are jit
     ARGUMENTS: closing over them would embed them as XLA constants and
     inflate compilation ~100x (measured 709 s vs 6.5 s).
+
+    With a `mesh` whose 'model' axis is >1, the whole step runs under
+    `shard_map`: the grid tables are sharded along the model axis
+    (grids beyond per-chip HBM), stars along 'data', and the funnel's
+    shortlist merge rides ICI collectives (see
+    `loglike_grid_screened`'s sharded mode).
     """
     from .ops.pallas_loglike import loglike_grid_screened
     from .ops.posterior import lnpost_batch
+
+    n_ms = mesh.shape.get("model", 1) if mesh is not None else 1
+    model_axis = "model" if n_ms > 1 else None
 
     def step_fn(ct, pk, mr, keys, flux, err, mask, plx, plx_err,
                 coord, dust_mean, dust_std, dust_dist, ext_lnl):
         res = loglike_grid_screened(
             flux, err, mask, ct, pk, mr, n_real,
             parallax=plx, parallax_err=plx_err, cfg=fit_cfg,
-            tile=tile, screen_k=fit_cfg.screen_k, aux_names=aux_names)
+            tile=tile, screen_k=fit_cfg.screen_k, aux_names=aux_names,
+            model_axis=model_axis, n_model_shards=n_ms)
         gidx = res.pop("global_idx")
         aux = res.pop("aux")
         if ext_lnl is not None:
@@ -165,7 +175,48 @@ def _screened_step(fit_cfg, post_cfg, gal_cfg, dust_cfg, apply_av_prior,
             cfg=post_cfg, gal_cfg=gal_cfg, dust_cfg=dust_cfg,
             apply_av_prior=apply_av_prior)
 
-    return jax.jit(step_fn)
+    if model_axis is None:
+        return jax.jit(step_fn)
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    cspec = P(None, None, "model")
+    mspec = P(None, "model")
+    d = P("data")
+    r = P()
+
+    def make(has_dust):
+        if has_dust:
+            def body(ct, pk, mr, keys, f, e, m, px, pe, co, dm, ds, dd):
+                return step_fn(ct, pk, mr, keys, f, e, m, px, pe, co,
+                               dm, ds, dd, None)
+            ins = (cspec, mspec, mspec, d, d, d, d, d, d, d, d, d, r)
+        else:
+            def body(ct, pk, mr, keys, f, e, m, px, pe, co):
+                return step_fn(ct, pk, mr, keys, f, e, m, px, pe, co,
+                               None, None, None, None)
+            ins = (cspec, mspec, mspec, d, d, d, d, d, d, d)
+        return jax.jit(shard_map(body, mesh=mesh, in_specs=ins,
+                                 out_specs=d, check_rep=False))
+
+    cache = {}
+
+    def step(ct, pk, mr, keys, f, e, m, px, pe, co, dm, ds, dd,
+             ext_lnl):
+        if ext_lnl is not None:
+            raise NotImplementedError(
+                "lnprior_ext is not supported with a model-sharded "
+                "mesh (the (B, M) prior table would need model-axis "
+                "sharding + a distributed gather)")
+        has_dust = dm is not None
+        if has_dust not in cache:
+            cache[has_dust] = make(has_dust)
+        if has_dust:
+            return cache[has_dust](ct, pk, mr, keys, f, e, m, px, pe,
+                                   co, dm, ds, dd)
+        return cache[has_dust](ct, pk, mr, keys, f, e, m, px, pe, co)
+
+    return step
 
 
 class BruteForce:
@@ -250,13 +301,13 @@ class BruteForce:
                     apply_av_prior, apply_dlabels, device_models,
                     lnprior_dev, feh=None, loga=None, has_ext=False,
                     engine="xla", tile=512, n_real=None,
-                    screen_tables=None):
+                    screen_tables=None, mesh=None):
 
         if engine == "fused_screen":
             coeffs_t, packed, aux_names, n_real_s, maskrow = screen_tables
             jstep = _screened_step(fit_cfg, post_cfg, gal_cfg, dust_cfg,
                                    apply_av_prior, aux_names, n_real_s,
-                                   tile)
+                                   tile, mesh=mesh)
 
             def step(keys, flux, err, mask, plx, plx_err, coord,
                      dust_mean, dust_std, dust_dist, ext_lnl):
@@ -447,23 +498,58 @@ class BruteForce:
         # 'model' axis (for grids too large to replicate) and handles
         # non-TPU backends at full compiled speed.
         model_ax = mesh.shape.get("model", 1) if mesh is not None else 1
+        use_screen = bool(fit_cfg.screen_k) and \
+            fit_cfg.screen_k < self.NMODEL
         if engine is None:
+            # Auto: the Pallas engine on TPU; a model>1 mesh needs the
+            # funnel's sharded mode (dense fused replicates the grid).
             engine = ("fused" if jax.default_backend() == "tpu"
-                      and model_ax == 1 else "xla")
-        if engine == "fused" and model_ax > 1:
+                      and (model_ax == 1 or use_screen) else "xla")
+        if engine == "fused" and model_ax > 1 and not use_screen:
             raise ValueError(
-                "engine='fused' replicates the grid per device and only "
-                "shards the mesh 'data' axis; use engine='xla' for "
-                "model-axis (grid) sharding")
+                "engine='fused' with a model>1 mesh requires the "
+                "funnel (screen_k < NMODEL): the dense fused kernel "
+                "replicates the grid per device.  Use screen_k or "
+                "engine='xla' for dense grid sharding.")
+        if (engine == "fused" and model_ax > 1
+                and lnprior_ext is not None):
+            raise NotImplementedError(
+                "lnprior_ext with a model-sharded fused mesh")
         if mesh is not None and batch_size % mesh.shape["data"] != 0:
             raise ValueError("batch_size must be divisible by the "
                              "mesh 'data' axis size")
 
         batch_shard = None
         fused_devices = None
-        if engine == "fused":
-            use_screen = bool(fit_cfg.screen_k) and \
-                fit_cfg.screen_k < self.NMODEL
+        if engine == "fused" and model_ax > 1:
+            # Model-sharded funnel: grid tables sharded over the mesh
+            # 'model' axis, stars over 'data', one shard_map step (see
+            # `_screened_step` / `loglike_grid_screened` sharded mode).
+            from .ops.pallas_loglike import prepare_screen
+            from .parallel import data_sharding
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            aux = {"lnprior": np.asarray(lnprior, np.float32)}
+            if feh_arr is not None:
+                aux["feh"] = np.asarray(feh_arr, np.float32)
+            if loga_arr is not None:
+                aux["loga"] = np.asarray(loga_arr, np.float32)
+            (coeffs_t, packed, aux_names, n_real,
+             maskrow) = prepare_screen(self.models, aux=aux, tile=tile,
+                                       n_shards=model_ax)
+            ct_s = jax.device_put(
+                coeffs_t, NamedSharding(mesh, P(None, None, "model")))
+            pk_s = jax.device_put(
+                packed, NamedSharding(mesh, P(None, "model")))
+            mr_s = jax.device_put(
+                maskrow, NamedSharding(mesh, P(None, "model")))
+            batch_shard = data_sharding(mesh)
+            step = self._build_step(
+                fit_cfg, post_cfg, gal_cfg, dust_cfg, apply_av_prior,
+                apply_dlabels, None, None, has_ext=False,
+                engine="fused_screen", tile=tile,
+                screen_tables=(ct_s, pk_s, aux_names, n_real, mr_s),
+                mesh=mesh)
+        elif engine == "fused":
             fused_devices = (list(mesh.devices.flatten())
                              if mesh is not None else [None])
             steps = []

@@ -528,7 +528,7 @@ def _make_call(cfg, B, F, M, tile, dtype, interpret, per_star=False):
 # Two-stage funnel: screen all models cheaply, fully optimize a shortlist
 # ---------------------------------------------------------------------------
 
-def prepare_screen(mag_coeffs, aux=None, tile=512):
+def prepare_screen(mag_coeffs, aux=None, tile=512, n_shards=1):
     """Device tables for the screened (funnel) likelihood path.
 
     Parameters
@@ -539,6 +539,8 @@ def prepare_screen(mag_coeffs, aux=None, tile=512):
         selection — the posterior stage then needs NO full-grid gathers
         at all.
     tile : model-tile width (M is padded up to a multiple).
+    n_shards : model-axis mesh size; M is padded to a multiple of
+        `tile * n_shards` so each shard's slice tiles evenly.
 
     Returns
     -------
@@ -551,7 +553,7 @@ def prepare_screen(mag_coeffs, aux=None, tile=512):
     tile padding).
     """
     import numpy as np
-    coeffs_t, n_real = prepare_coeffs(mag_coeffs, tile)
+    coeffs_t, n_real = prepare_coeffs(mag_coeffs, tile * n_shards)
     Mp = coeffs_t.shape[-1]
     mc = np.asarray(mag_coeffs, np.float32)
     M, F, _ = mc.shape
@@ -598,6 +600,39 @@ def _select_blocks(score, nb, block):
            + jnp.arange(block, dtype=jnp.int32)[None, None, :]
            ).reshape(B, nb * block)
     return bidx, idx
+
+
+def _select_blocks_sharded(score, nb, block, model_axis, n_shards):
+    """Cross-shard top-`nb` block selection for the model-sharded
+    funnel (called inside `shard_map`; `score` is the LOCAL
+    `(B, M_local)` screening scores).
+
+    Each shard ranks its own blocks, the per-shard candidates are
+    `all_gather`ed over the `model` mesh axis (`n_shards * nb` block
+    scores + GLOBAL block ids — a few kB, rides ICI), and every shard
+    re-ranks the union to the same global top-`nb`.  Returns
+    `(bidx_global (B, nb), idx_global (B, P), mine (B, nb))` where
+    `mine` marks the blocks this shard owns (for the local slab
+    gather + psum merge).
+    """
+    B, Ml = score.shape
+    nb_l = min(nb, Ml // block)
+    bscore = jnp.max(score.reshape(B, Ml // block, block), axis=-1)
+    bsc, bix = lax.top_k(bscore, nb_l)
+    s_idx = lax.axis_index(model_axis)
+    nblocks_l = Ml // block
+    bix_g = bix.astype(jnp.int32) + s_idx * nblocks_l
+    # (B, n_shards * nb_l) candidate union, identical on every shard.
+    cand_sc = lax.all_gather(bsc, model_axis, axis=1, tiled=True)
+    cand_ix = lax.all_gather(bix_g, model_axis, axis=1, tiled=True)
+    _, sel = lax.top_k(cand_sc, nb)
+    bidx = jnp.take_along_axis(cand_ix, sel, axis=1)
+    idx = (bidx[:, :, None] * block
+           + jnp.arange(block, dtype=jnp.int32)[None, None, :]
+           ).reshape(B, nb * block)
+    lo = s_idx * nblocks_l
+    mine = (bidx >= lo) & (bidx < lo + nblocks_l)
+    return bidx, idx, mine
 
 
 @lru_cache(maxsize=32)
@@ -680,7 +715,8 @@ def loglike_grid_screened(flux, fluxerr, mask, coeffs_t, packed, maskrow,
                           n_real, parallax=None, parallax_err=None,
                           cfg: FitConfig = FitConfig(), tile=512,
                           screen_k=16384, screen_block=256,
-                          aux_names=(), interpret=None, stop_after=None):
+                          aux_names=(), interpret=None, stop_after=None,
+                          model_axis=None, n_model_shards=1):
     """Funnel likelihood: screen all M models, fully fit the top-P.
 
     Stage 1 scores every model with a direct magnitude-space 3x3 WLS
@@ -696,6 +732,18 @@ def loglike_grid_screened(flux, fluxerr, mask, coeffs_t, packed, maskrow,
     `global_idx` (the (B, P) shortlist -> grid index map) and `aux`
     (dict of the gathered per-star columns from `prepare_screen`,
     `(B, P)` each).
+
+    Model-sharded mode (`model_axis` set, called inside `shard_map`):
+    `coeffs_t`/`packed`/`maskrow` are this shard's slice of the grid
+    (contiguous global chunk `[s*M_local, (s+1)*M_local)`) and `n_real`
+    the GLOBAL real model count.  Each shard screens its own models,
+    the block shortlists merge across the mesh `model` axis
+    (`_select_blocks_sharded`), each shard slab-gathers the selected
+    blocks it owns, and one `psum` assembles the full per-star
+    shortlist on every shard (each slab has exactly one owner).  The
+    shortlist fit then runs shard-redundantly (cheap; it keeps the
+    posterior stage collective-free).  SURVEY §2's tensor-parallel
+    requirement for grids beyond per-chip HBM.
     """
     B, F = flux.shape
     _, _, M = coeffs_t.shape
@@ -712,7 +760,9 @@ def loglike_grid_screened(flux, fluxerr, mask, coeffs_t, packed, maskrow,
         block //= 2
     if not interpret:
         block = max(block, 128)
-    nb = max(1, min(screen_k // block, M // block))
+    # Sharded mode: M is the LOCAL model count; the shortlist width is
+    # still capped by the GLOBAL grid.
+    nb = max(1, min(screen_k // block, (M * n_model_shards) // block))
     P = nb * block
     tile2 = tile
     while P % tile2:
@@ -747,10 +797,28 @@ def loglike_grid_screened(flux, fluxerr, mask, coeffs_t, packed, maskrow,
     if stop_after == "screen":     # bench --breakdown probe
         return score
 
-    bidx, idx = _select_blocks(score, nb, block)
-    gather = _make_gather_call(packed.shape[0], M, Bp, nb, block,
-                               interpret)
-    coeffs2, aux = _unpack_gather(gather(bidx, packed), 3 * F, Bp)
+    if model_axis is None:
+        bidx, idx = _select_blocks(score, nb, block)
+        gather = _make_gather_call(packed.shape[0], M, Bp, nb, block,
+                                   interpret)
+        slabs = gather(bidx, packed)
+    else:
+        bidx, idx, mine = _select_blocks_sharded(score, nb, block,
+                                                 model_axis,
+                                                 n_model_shards)
+        # Gather locally (clamped ids for non-owned slots), zero the
+        # slots this shard doesn't own, and merge: every slab has
+        # exactly one owner, so the psum is a scatter-free union.
+        bidx_l = jnp.where(mine, bidx - lax.axis_index(model_axis)
+                           * (M // block), 0)
+        gather = _make_gather_call(packed.shape[0], M, Bp, nb, block,
+                                   interpret)
+        slabs = gather(bidx_l, packed)
+        keepf = jnp.broadcast_to(mine[:, :, None],
+                                 (Bp, nb, block)).reshape(1, Bp * nb
+                                                          * block)
+        slabs = lax.psum(slabs * keepf.astype(slabs.dtype), model_axis)
+    coeffs2, aux = _unpack_gather(slabs, 3 * F, Bp)
     if stop_after == "gather":     # bench --breakdown probe
         return coeffs2, aux, idx
 

@@ -134,14 +134,44 @@ def test_screened_engine_data_mesh(problem):
     assert (out2["model_idx"] == out1["model_idx"]).mean() > 0.95
 
 
-def test_fused_engine_rejects_model_mesh(problem):
+def test_screened_engine_model_mesh(problem):
+    """Model-sharded funnel: grid tables sharded over a ('data'=2,
+    'model'=4) mesh, shortlist merged across shards with
+    all_gather/psum collectives — must match the single-device funnel
+    to float association error (the shortlist SET is identical; only
+    reduction order differs)."""
+    data, errs, mask, coords = problem
+    bf = BruteForce(MC, LABELS, LMASK)
+    kw = dict(data_coords=coords,
+              parallax=np.full(len(data), 1.0),
+              parallax_err=np.full(len(data), 0.05),
+              Nmc_prior=16, Ndraws=32, batch_size=4, n_sel_max=32,
+              verbose=False, return_results=True, engine="fused",
+              tile=64, screen_k=128)
+    out1 = bf.fit(data, errs, mask, **kw)
+    mesh = make_mesh(n_data=2, n_model=4)
+    out8 = bf.fit(data, errs, mask, mesh=mesh, **kw)
+    np.testing.assert_allclose(out8["log_evidence"], out1["log_evidence"],
+                               rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(out8["chi2min"], out1["chi2min"],
+                               rtol=1e-6)
+    assert (out8["model_idx"] == out1["model_idx"]).mean() > 0.95
+    # Draw fields land on real grid-global models.
+    assert (out8["model_idx"] >= 0).all()
+    assert (out8["model_idx"] < bf.NMODEL).all()
+
+
+def test_fused_engine_rejects_dense_model_mesh(problem):
+    """Dense fused (screen off) still refuses model>1 meshes — the
+    dense kernel replicates the grid; only the funnel shards it."""
     data, errs, mask, coords = problem
     bf = BruteForce(MC, LABELS, LMASK)
     mesh = make_mesh(n_data=1, n_model=2, devices=jax.devices()[:2])
     import pytest as _pytest
-    with _pytest.raises(ValueError, match="model-axis"):
+    with _pytest.raises(ValueError, match="funnel"):
         bf.fit(data, errs, mask, data_coords=coords, mesh=mesh,
-               engine="fused", verbose=False, return_results=True)
+               engine="fused", screen_k=0, verbose=False,
+               return_results=True)
 
 
 def test_sharded_ext_prior_with_padding(problem):
