@@ -178,7 +178,10 @@ def _screened_step(fit_cfg, post_cfg, gal_cfg, dust_cfg, apply_av_prior,
     if model_axis is None:
         return jax.jit(step_fn)
 
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:            # older jax
+        from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
     cspec = P(None, None, "model")
     mspec = P(None, "model")

@@ -266,18 +266,33 @@ def _make_kernel(cfg: FitConfig, per_star=False):
     return kernel
 
 
+# Magnitude zero point subtracted from both the data and the model
+# magnitudes before the screening matmuls: the bilinear terms are
+# accumulated from bf16 products, and centering shrinks |mag0| from
+# ~8-16 to ~±4, cutting the b0 = C0 - mag0^T.w cancellation noise ~3x.
+SCREEN_MAG_CENTER = 12.0
+N_SCREEN_ROWS = 9    # r0, dr, m0, r0^2, r0*dr, dr^2, m0*r0, m0*dr, m0^2
+SCREEN_FP = 16       # contraction width (F padded; bf16 sublane quantum)
+
+
 @lru_cache(maxsize=32)
 def _make_screen_kernel(cfg: FitConfig):
-    """Cheap magnitude-space screening pass over the full grid.
+    """Cheap magnitude-space screening pass over the full grid — MXU
+    formulation.
 
-    Computes, per (star, model), the chi2 of the clamped direct 3x3
-    weighted least-squares solution of `(mu-offset, Av, Av*Rv)` plus the
-    parallax chi2 at the implied scale — the same quantity the
-    reference's init-threshold cull ranks on (`brutus/fitting.py:743-768`
-    culls on the post-magnitude-phase likelihood with an optional
-    parallax term).  ~5% of the full kernel's FLOPs; the top `screen_k`
-    models per star then get the full two-phase optimization
-    (`loglike_grid_screened`).
+    Scores, per (star, model), the chi2 of the clamped direct 3x3
+    weighted least-squares solution of `(mu-offset, Av, Av*Rv)` plus
+    the parallax chi2 at the implied scale — the same quantity the
+    reference's init-threshold cull ranks on
+    (`brutus/fitting.py:743-768`).  Every bilinear term of the normal
+    equations and of the chi2 quadratic-form expansion is a
+    `(B, F) @ (F, T)` contraction, so the heavy lifting runs as 12
+    bf16 matmuls on the MXU with f32 accumulation (the v2 kernel did
+    the same ~30 GFLOP/batch as elementwise VPU work and was the
+    single largest pipeline stage at 16 ms/batch); only the ~80-flop
+    3x3-solve epilogue per (star, model) stays on the VPU.  bf16
+    inputs cost ~0.5% score noise — irrelevant for block ranking with
+    a `screen_k` ~80x wider than the posterior's survivor set.
     """
     avm, av_sig = cfg.av_gauss
     rvm, _ = cfg.rv_gauss
@@ -285,38 +300,51 @@ def _make_screen_kernel(cfg: FitConfig):
     avmin, avmax = cfg.avlim
     rvmin, rvmax = cfg.rvlim
 
-    def fsum(x):
-        return jnp.sum(x, axis=0)
+    def kernel(wb_ref, mwb_ref, srow_ref, maskrow_ref, tab_ref,
+               score_ref):
+        # wb/mwb: (B, FP) bf16 weights / centered-mag-weighted data;
+        # srow: (B, 8) f32 per-star scalars; tab: (9, FP, T) bf16
+        # per-model rows; score: (B, T) f32.
+        w = wb_ref[:]
+        mw = mwb_ref[:]
+        dot = lambda a, b: jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        A01 = dot(w, tab_ref[0])       # sum w r0
+        A02 = dot(w, tab_ref[1])       # sum w dr
+        Bm0 = dot(w, tab_ref[2])       # sum w m0
+        A11 = dot(w, tab_ref[3])       # sum w r0^2
+        A12 = dot(w, tab_ref[4])       # sum w r0 dr
+        A22 = dot(w, tab_ref[5])       # sum w dr^2
+        Bm1 = dot(w, tab_ref[6])       # sum w m0 r0
+        Bm2 = dot(w, tab_ref[7])       # sum w m0 dr
+        Q2 = dot(w, tab_ref[8])        # sum w m0^2
+        C1 = dot(mw, tab_ref[0])       # sum w m r0
+        C2 = dot(mw, tab_ref[1])       # sum w m dr
+        Cm = dot(mw, tab_ref[2])       # sum w m m0
 
-    def kernel(mags_ref, wtm_ref, plx_ref, plxw_ref, maskrow_ref,
-               coef_ref, score_ref):
-        mag0 = coef_ref[0][:, None, :]      # (F, 1, T)
-        r0 = coef_ref[1][:, None, :]
-        dr = coef_ref[2][:, None, :]
-        mags = mags_ref[0][:, :, None]      # (F, G, 1)
-        wtm = wtm_ref[0][:, :, None]
-        plx = plx_ref[0]                    # (G, 1)
-        plxw = plxw_ref[0]
+        a00 = jnp.maximum(srow_ref[:, 0:1], 1e-30)   # (B, 1)
+        C0 = srow_ref[:, 1:2]          # sum w m
+        q0 = srow_ref[:, 2:3]          # sum w m^2
+        plx = srow_ref[:, 3:4]
+        plxw = srow_ref[:, 4:5]
 
-        resid0 = mags - mag0                # (F, G, T)
-        a00 = jnp.sum(wtm, axis=0)          # (G, 1)
-        a01 = fsum(r0 * wtm)                # (G, T)
-        a02 = fsum(dr * wtm)
-        a11 = fsum(r0 * r0 * wtm) + avvi
-        a12 = fsum(r0 * dr * wtm)
-        a22 = fsum(dr * dr * wtm)
-        b0 = fsum(resid0 * wtm)
-        b1 = fsum(resid0 * r0 * wtm) + avm * avvi
-        b2 = fsum(resid0 * dr * wtm)
-        det = (a00 * (a11 * a22 - a12 * a12)
-               - a01 * (a01 * a22 - a12 * a02)
-               + a02 * (a01 * a12 - a11 * a02))
-        det1 = (a00 * (b1 * a22 - a12 * b2)
-                - b0 * (a01 * a22 - a12 * a02)
-                + a02 * (a01 * b2 - b1 * a02))
-        det2 = (a00 * (a11 * b2 - b1 * a12)
-                - a01 * (a01 * b2 - b1 * a02)
-                + b0 * (a01 * a12 - a11 * a02))
+        # Normal equations carry the Av Gaussian prior; the chi2
+        # expansion below uses the RAW sums (explicit residuals).
+        b0 = C0 - Bm0                  # sum w resid0
+        b1r = C1 - Bm1                 # sum w resid0 r0
+        b2 = C2 - Bm2                  # sum w resid0 dr
+        b1 = b1r + avm * avvi
+        a11 = A11 + avvi
+        det = (a00 * (a11 * A22 - A12 * A12)
+               - A01 * (A01 * A22 - A12 * A02)
+               + A02 * (A01 * A12 - a11 * A02))
+        det1 = (a00 * (b1 * A22 - A12 * b2)
+                - b0 * (A01 * A22 - A12 * A02)
+                + A02 * (A01 * b2 - b1 * A02))
+        det2 = (a00 * (a11 * b2 - b1 * A12)
+                - A01 * (A01 * b2 - b1 * A02)
+                + b0 * (A01 * A12 - a11 * A02))
         safe_det = jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
         av = jnp.clip(det1 / safe_det, avmin, avmax)
         avrv = det2 / safe_det
@@ -326,45 +354,78 @@ def _make_screen_kernel(cfg: FitConfig):
         rv = jnp.clip(rv, rvmin, rvmax)
         avrv = av * rv
         # Re-solve the (linear, unbounded) mu offset at the clamped
-        # (Av, Av*Rv), then score on the explicit residuals.
-        u = (b0 - av * a01 - avrv * a02) / a00
-        r = resid0 - u[None] - av[None] * r0 - avrv[None] * dr
-        chi2 = fsum(r * r * wtm)
-        # Parallax chi2 at the implied flux scale s = 10**(-0.4 u)
-        # (the reference's optional init-cull parallax clip,
-        # fitting.py:752-768); plxw is 0 when no parallax is given.
+        # (Av, Av*Rv), then score on the quadratic-form expansion of
+        # the explicit-residual chi2:
+        #   r = resid0 - u - av r0 - avrv dr;  chi2 = sum w r^2.
+        u = (b0 - av * A01 - avrv * A02) / a00
+        rss0 = q0 - 2.0 * Cm + Q2      # sum w resid0^2
+        chi2 = (rss0 + u * u * a00 + av * av * A11 + avrv * avrv * A22
+                - 2.0 * (u * b0 + av * b1r + avrv * b2)
+                + 2.0 * (u * av * A01 + u * avrv * A02
+                         + av * avrv * A12))
+        # Parallax chi2 at the implied flux scale s = 10**(-0.4 mu)
+        # (the centering shift cancels inside resid0, so u is the true
+        # mu offset; reference fitting.py:752-768).  plxw is 0 when no
+        # parallax is given.
         par = jnp.exp(-0.2 * LN10 * u)
         chi2 = chi2 + (par - plx) ** 2 * plxw
-        # maskrow kills the tile-padding models (-1e30 on padded lanes);
-        # kept 2-D ((1, T) broadcast) — 1-D intermediates trip Mosaic.
+        # maskrow kills the tile-padding models (-1e30 on padded
+        # lanes).
         score_ref[:] = -0.5 * chi2 + maskrow_ref[:, :]
 
     return kernel
 
 
 @lru_cache(maxsize=32)
-def _make_screen_call(cfg, B, F, M, tile, dtype, interpret):
+def _make_screen_call(cfg, B, M, tile, dtype, interpret):
+    """`B` is the screen-padded star count (multiple of 16: the bf16
+    star matrices put stars in sublanes)."""
     num_tiles = M // tile
-    n_groups = B // GROUP
-    star_spec = pl.BlockSpec((1, F, GROUP), lambda t, g: (g, 0, 0),
+    star_spec = pl.BlockSpec((B, SCREEN_FP), lambda t: (0, 0),
                              memory_space=pltpu.VMEM)
-    scal_spec = pl.BlockSpec((1, GROUP, 1), lambda t, g: (g, 0, 0),
+    srow_spec = pl.BlockSpec((B, 8), lambda t: (0, 0),
                              memory_space=pltpu.VMEM)
-    mask_spec = pl.BlockSpec((1, tile), lambda t, g: (0, t),
+    mask_spec = pl.BlockSpec((1, tile), lambda t: (0, t),
                              memory_space=pltpu.VMEM)
-    coef_spec = pl.BlockSpec((3, F, tile), lambda t, g: (0, 0, t),
-                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((GROUP, tile), lambda t, g: (g, t),
+    tab_spec = pl.BlockSpec((N_SCREEN_ROWS, SCREEN_FP, tile),
+                            lambda t: (0, 0, t),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((B, tile), lambda t: (0, t),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _make_screen_kernel(cfg),
-        grid=(num_tiles, n_groups),
-        in_specs=[star_spec, star_spec, scal_spec, scal_spec, mask_spec,
-                  coef_spec],
+        grid=(num_tiles,),
+        in_specs=[star_spec, star_spec, srow_spec, mask_spec, tab_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((B, M), dtype),
         interpret=interpret,
     )
+
+
+@partial(jax.jit, static_argnames=("n_pad",))
+def _screen_star_mats(mags, wt_mag, plx, plxw, n_pad):
+    """Star-side inputs for the MXU screening kernel.
+
+    Returns `(wb, mwb, srow)`: bf16 `(Bs, FP)` weight and
+    centered-mag-weighted matrices plus the f32 `(Bs, 8)` per-star
+    scalar rows `[a00, C0, q0, plx, plxw, 0, 0, 0]` (computed in f32
+    BEFORE the bf16 cast — only the bilinear model terms pay the bf16
+    noise).  `Bs = B + n_pad` pads stars to the bf16 sublane quantum.
+    """
+    B, F = mags.shape
+    mc = (mags - SCREEN_MAG_CENTER) * jnp.sign(wt_mag)  # 0 where wt==0
+    mcw = mc * wt_mag
+    a00 = jnp.sum(wt_mag, axis=1)
+    C0 = jnp.sum(mcw, axis=1)
+    q0 = jnp.sum(mc * mcw, axis=1)
+    zero = jnp.zeros_like(a00)
+    srow = jnp.stack([a00, C0, q0, plx[:, 0], plxw[:, 0],
+                      zero, zero, zero], axis=1)
+    fp = SCREEN_FP - F
+    wb = jnp.pad(wt_mag, ((0, n_pad), (0, fp))).astype(jnp.bfloat16)
+    mwb = jnp.pad(mcw, ((0, n_pad), (0, fp))).astype(jnp.bfloat16)
+    srow = jnp.pad(srow, ((0, n_pad), (0, 0)))
+    return wb, mwb, srow
 
 
 def prepare_coeffs(mag_coeffs, tile=2048):
@@ -544,19 +605,32 @@ def prepare_screen(mag_coeffs, aux=None, tile=512, n_shards=1):
 
     Returns
     -------
-    (coeffs_t, packed, aux_names, n_real, maskrow): the transposed
-    `(3, F, Mp)` kernel input, the COLUMN-MAJOR `(3F + n_aux, Mp)`
-    slab-gather table (row `k*F + f` holds coefficient `k` of filter
-    `f`, so gathered slabs land directly in the stage-2 kernel's
-    `(3, F, B, P)` layout with a free reshape), the aux row order, the
-    real model count, and the `(1, Mp)` screening mask row (`-1e30` on
-    tile padding).
+    (screen_tab, packed, aux_names, n_real, maskrow): the
+    `(9, SCREEN_FP, Mp)` bf16 MXU screening table (per-model rows
+    `r0, dr, m0, r0^2, r0*dr, dr^2, m0*r0, m0*dr, m0^2` with centered
+    magnitudes, F zero-padded to the bf16 sublane quantum), the
+    COLUMN-MAJOR `(3F + n_aux, Mp)` slab-gather table (row `k*F + f`
+    holds coefficient `k` of filter `f`, so gathered slabs land
+    directly in the stage-2 kernel's `(3, F, B, P)` layout with a free
+    reshape), the aux row order, the real model count, and the
+    `(1, Mp)` screening mask row (`-1e30` on tile padding).
     """
     import numpy as np
     coeffs_t, n_real = prepare_coeffs(mag_coeffs, tile * n_shards)
     Mp = coeffs_t.shape[-1]
     mc = np.asarray(mag_coeffs, np.float32)
     M, F, _ = mc.shape
+
+    # MXU screening table from the PADDED grid (padding models carry
+    # +60 mag; the maskrow kills them regardless).
+    ct = np.asarray(coeffs_t)                      # (3, F, Mp) f32
+    m0 = ct[0] - SCREEN_MAG_CENTER
+    r0, dr = ct[1], ct[2]
+    tab = np.zeros((N_SCREEN_ROWS, SCREEN_FP, Mp), np.float32)
+    for i, row in enumerate([r0, dr, m0, r0 * r0, r0 * dr, dr * dr,
+                             m0 * r0, m0 * dr, m0 * m0]):
+        tab[i, :F] = row
+    screen_tab = jnp.asarray(tab.astype(jnp.bfloat16))
     rows = [np.ascontiguousarray(mc.transpose(2, 1, 0)).reshape(3 * F, M)]
     names = []
     if aux:
@@ -575,7 +649,7 @@ def prepare_screen(mag_coeffs, aux=None, tile=512, n_shards=1):
             [packed, np.zeros((pad_c, Mp), np.float32)])
     maskrow = np.zeros((1, Mp), np.float32)
     maskrow[0, n_real:] = -1e30
-    return (coeffs_t, jnp.asarray(packed), tuple(names), n_real,
+    return (screen_tab, jnp.asarray(packed), tuple(names), n_real,
             jnp.asarray(maskrow))
 
 
@@ -711,7 +785,8 @@ def _unpack_gather(out, n_coef, B):
     return out[:n_coef].reshape(3, F, B, P), out[n_coef:]
 
 
-def loglike_grid_screened(flux, fluxerr, mask, coeffs_t, packed, maskrow,
+def loglike_grid_screened(flux, fluxerr, mask, screen_tab, packed,
+                          maskrow,
                           n_real, parallax=None, parallax_err=None,
                           cfg: FitConfig = FitConfig(), tile=512,
                           screen_k=16384, screen_block=256,
@@ -734,7 +809,7 @@ def loglike_grid_screened(flux, fluxerr, mask, coeffs_t, packed, maskrow,
     `(B, P)` each).
 
     Model-sharded mode (`model_axis` set, called inside `shard_map`):
-    `coeffs_t`/`packed`/`maskrow` are this shard's slice of the grid
+    `screen_tab`/`packed`/`maskrow` are this shard's slice of the grid
     (contiguous global chunk `[s*M_local, (s+1)*M_local)`) and `n_real`
     the GLOBAL real model count.  Each shard screens its own models,
     the block shortlists merge across the mesh `model` axis
@@ -746,8 +821,8 @@ def loglike_grid_screened(flux, fluxerr, mask, coeffs_t, packed, maskrow,
     requirement for grids beyond per-chip HBM.
     """
     B, F = flux.shape
-    _, _, M = coeffs_t.shape
-    dtype = coeffs_t.dtype
+    M = screen_tab.shape[-1]
+    dtype = jnp.float32        # screen_tab is bf16; compute stays f32
     flux = flux.astype(dtype)
     fluxerr = fluxerr.astype(dtype)
     if interpret is None:
@@ -790,10 +865,14 @@ def loglike_grid_screened(flux, fluxerr, mask, coeffs_t, packed, maskrow,
     plx, plxw = _screen_parallax(parallax, parallax_err)
 
     grp = lambda x: x.reshape(Bp // GROUP, GROUP, F).swapaxes(1, 2)
-    vec = lambda x: x.reshape(Bp // GROUP, GROUP, 1)
-    screen = _make_screen_call(cfg, Bp, F, M, tile, str(dtype), interpret)
-    score = screen(grp(mags), grp(wt_mag), vec(plx), vec(plxw), maskrow,
-                   coeffs_t)
+    # MXU screening: stars in sublanes (padded to the bf16 quantum).
+    Bs = -(-Bp // SCREEN_FP) * SCREEN_FP
+    wb, mwb, srow = _screen_star_mats(mags, wt_mag, plx[:, None],
+                                      plxw[:, None], Bs - Bp)
+    screen = _make_screen_call(cfg, Bs, M, tile, "float32", interpret)
+    score = screen(wb, mwb, srow, maskrow, screen_tab)
+    if Bs != Bp:
+        score = score[:Bp]
     if stop_after == "screen":     # bench --breakdown probe
         return score
 
@@ -822,7 +901,7 @@ def loglike_grid_screened(flux, fluxerr, mask, coeffs_t, packed, maskrow,
     if stop_after == "gather":     # bench --breakdown probe
         return coeffs2, aux, idx
 
-    call = _make_call(cfg, Bp, F, P, tile2, str(dtype), interpret,
+    call = _make_call(cfg, Bp, F, P, tile2, "float32", interpret,
                       per_star=True)
     outs = call(grp(flux_p), grp(wt_flux), grp(mags), grp(wt_mag), coeffs2)
     if Bp != B:

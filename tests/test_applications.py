@@ -181,6 +181,7 @@ def test_bin_pdfs_distred_saved_draws():
     assert (np.diff(cdfs, axis=1) >= -1e-6).all()
 
 
+@pytest.mark.slow
 def test_bin_pdfs_distred_regenerated():
     n_obj, n_sel = 2, 30
     scales = rng.uniform(0.25, 1.0, (n_obj, n_sel))

@@ -102,6 +102,7 @@ def test_lnpost_posterior_recovery(tmp_path):
     assert np.isin(np.asarray(out["model_idx"]), valid_ids).all()
 
 
+@pytest.mark.slow
 def test_lnpost_float64_oracle_golden():
     """Golden-value parity of lnpost_grid against the float64 oracle
     (reference brutus/fitting.py:823-1107 semantics: culls, priors at
@@ -252,6 +253,7 @@ def _dustfile(tmp_path, coords):
     return path
 
 
+@pytest.mark.slow
 def test_bruteforce_end_to_end(tmp_path):
     n_star = 5
     trng = np.random.default_rng(202)
@@ -299,6 +301,7 @@ def test_bruteforce_end_to_end(tmp_path):
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_bruteforce_resume(tmp_path):
     n_star = 4
     data = np.zeros((n_star, NFILT))
@@ -326,6 +329,7 @@ def test_bruteforce_resume(tmp_path):
     assert (res["model_idx"] != -99).all()
 
 
+@pytest.mark.slow
 def test_bruteforce_lnprior_ext(tmp_path):
     """An external Gaussian label prior shifts the posterior."""
     flux, err = make_star(MC, 40, 0.5, 3.3, 1.2, snr=10.0)
@@ -348,6 +352,7 @@ def test_bruteforce_lnprior_ext(tmp_path):
     assert abs(feh_pin - target) < 0.4
 
 
+@pytest.mark.slow
 def test_fit_generator_streams_lazily():
     """_fit yields per-star tuples batch-by-batch: consuming the first
     star must not fit the whole catalog (reference fitting.py:1803 is a
@@ -390,6 +395,7 @@ def test_fit_generator_streams_lazily():
         BruteForce._build_step = orig
 
 
+@pytest.mark.slow
 def test_lnpost_prefilter_equivalence():
     """The likelihood-rank prefilter reproduces the unfiltered posterior."""
     flux, err = make_star(MC, 33, 0.5, 3.2, 1.1)

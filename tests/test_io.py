@@ -91,6 +91,7 @@ REF_ORION = "/root/reference/demos/Orion_l204.7_b-19.2.h5"
 
 @pytest.mark.skipif(not os.path.exists(REF_ORION),
                     reason="reference demo data not available")
+@pytest.mark.slow
 def test_real_orion_catalog_end_to_end():
     """Plumbing check on the reference's committed Orion catalog: the
     real structured photometry (1,642 stars, 8 bands, Gaia parallaxes)

@@ -6,6 +6,9 @@ association error on every output.
 """
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # interpret-mode MC kernel
 import jax
 import jax.numpy as jnp
 

@@ -145,6 +145,7 @@ def test_get_eep_binary_agematch(trackfile, nnfile):
     assert abs(got - expect) < 3.0
 
 
+@pytest.mark.slow
 def test_sedmaker_get_sed(trackfile, nnfile):
     mk = SEDmaker(filters=FILTERS, nnfile=nnfile[0], mistfile=trackfile,
                   verbose=False)
@@ -168,6 +169,7 @@ def test_sedmaker_get_sed(trackfile, nnfile):
     assert np.isnan(sed_n).all()
 
 
+@pytest.mark.slow
 def test_make_grid_and_fit_roundtrip(trackfile, nnfile, tmp_path):
     """Overview-2 + Overview-3 analog: generate a grid, write it, load
     it, and fit a star synthesized from the generator."""
@@ -247,6 +249,7 @@ def isofile(tmp_path_factory):
     return path
 
 
+@pytest.mark.slow
 def test_isochrone_seds(isofile, nnfile):
     iso = Isochrone(filters=FILTERS, nnfile=nnfile[0], mistfile=isofile,
                     verbose=False)

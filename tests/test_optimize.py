@@ -1,6 +1,7 @@
 """Parity tests for the likelihood core against the numpy oracle."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from brutus_tpu.config import FitConfig
@@ -154,6 +155,7 @@ def test_loglike_float32_close():
                                o_lnl[sel] - o_lnl[sel].max(), atol=0.05)
 
 
+@pytest.mark.slow
 def test_direct_mag_init_converges_same():
     """The direct 3x3 seed reaches the same optimum as cold-start."""
     nmodel, nfilt = 64, 8
@@ -173,6 +175,7 @@ def test_direct_mag_init_converges_same():
     assert la.argmax() == lb.argmax()
 
 
+@pytest.mark.slow
 def test_polish_topk_matches_dense():
     """Restricting the flux polish to the top-k models reproduces the
     dense path wherever the init cull keeps models."""

@@ -1,6 +1,7 @@
 """Fused Pallas kernel vs XLA reference path (interpret mode on CPU)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -110,6 +111,7 @@ def _assert_evidence_close(e1, e2, atol=0.5, frac=0.75, hard=5.0):
     assert d.max() < hard, d
 
 
+@pytest.mark.slow
 def test_screened_funnel_matches_dense():
     """Funnel (screen + DMA slab gather + shortlist fit) vs dense kernel."""
     from brutus_tpu.ops.pallas_loglike import (prepare_screen,
@@ -119,14 +121,16 @@ def test_screened_funnel_matches_dense():
     mask = np.ones(flux.shape, bool)
     cfg = FitConfig(dim_prior=False)
     M = len(mc)
-    ct, packed, names, n_real, maskrow = prepare_screen(
+    st, packed, names, n_real, maskrow = prepare_screen(
         mc, aux=dict(lnprior=np.zeros(M, np.float32),
                      feh=rng.uniform(-2, 0.3, M).astype(np.float32)),
         tile=128)
     res = loglike_grid_screened(
         jnp.asarray(flux), jnp.asarray(err), jnp.asarray(mask),
-        ct, packed, maskrow, n_real, cfg=cfg, tile=128,
+        st, packed, maskrow, n_real, cfg=cfg, tile=128,
         screen_k=512, screen_block=64, aux_names=names, interpret=True)
+    ct, n_real_d = prepare_coeffs(mc, tile=128)
+    assert n_real_d == n_real
     dense = loglike_grid_fused(jnp.asarray(flux), jnp.asarray(err),
                                jnp.asarray(mask), ct, cfg=cfg,
                                tile=128, interpret=True, n_real=n_real)
@@ -157,6 +161,7 @@ def test_screened_funnel_matches_dense():
         assert lnl[pad_rows].max() < -1e29
 
 
+@pytest.mark.slow
 def test_bruteforce_screened_engine():
     """BruteForce engine='fused' + screen_k < M routes through the
     funnel and matches the XLA engine posteriors.  7 stars at
@@ -197,6 +202,7 @@ def test_bruteforce_screened_engine():
     assert hit > 0.9
 
 
+@pytest.mark.slow
 def test_bruteforce_fused_engine():
     """BruteForce with engine='fused' matches the XLA engine posteriors."""
     rng = np.random.default_rng(105)

@@ -62,6 +62,7 @@ def test_shard_grid_padding():
     assert np.asarray(dev)[250:, :, 0].min() > np.asarray(dev)[:250, :, 0].max()
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device(problem):
     out1 = _run(problem, mesh=None)
     mesh = make_mesh(n_data=2, n_model=4)
@@ -75,12 +76,14 @@ def test_sharded_matches_single_device(problem):
                                np.median(out1["dist"], axis=1), rtol=0.05)
 
 
+@pytest.mark.slow
 def test_model_only_mesh(problem):
     mesh = make_mesh(n_data=1, n_model=8)
     out = _run(problem, mesh)
     assert np.isfinite(out["log_evidence"]).all()
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import importlib.util
     spec = importlib.util.spec_from_file_location(
@@ -93,6 +96,7 @@ def test_graft_entry_dryrun():
     mod.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_fused_engine_data_mesh(problem):
     """Fused engine: star-batch data parallelism over a 2-device mesh
     (per-device grid replicas, eager per-device kernel dispatch) matches
@@ -113,6 +117,7 @@ def test_fused_engine_data_mesh(problem):
     assert (out2["model_idx"] == out1["model_idx"]).mean() > 0.95
 
 
+@pytest.mark.slow
 def test_screened_engine_data_mesh(problem):
     """Funnel engine (screen_k < M): star-batch data parallelism over
     a 2-device mesh with per-device screen tables matches the
@@ -134,6 +139,7 @@ def test_screened_engine_data_mesh(problem):
     assert (out2["model_idx"] == out1["model_idx"]).mean() > 0.95
 
 
+@pytest.mark.slow
 def test_screened_engine_model_mesh(problem):
     """Model-sharded funnel: grid tables sharded over a ('data'=2,
     'model'=4) mesh, shortlist merged across shards with
@@ -174,6 +180,7 @@ def test_fused_engine_rejects_dense_model_mesh(problem):
                return_results=True)
 
 
+@pytest.mark.slow
 def test_sharded_ext_prior_with_padding(problem):
     """lnprior_ext must be padded along with the sharded model grid."""
     data, errs, mask, coords = problem

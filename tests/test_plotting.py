@@ -4,6 +4,7 @@ import matplotlib
 matplotlib.use("Agg")
 
 import numpy as np
+import pytest
 import matplotlib.pyplot as plt
 
 from brutus_tpu import plotting
@@ -88,6 +89,7 @@ def test_photometric_offsets_plots():
     plt.close(fig)
 
 
+@pytest.mark.slow
 def test_plots_from_fit_outputs():
     """cornerplot_fit / offsets plots driven directly by a
     BruteForce.fit output dict (VERDICT round-1 item 8)."""
