@@ -127,7 +127,8 @@ def _unpack_outputs(fpack, ipack, layout):
 
 @lru_cache(maxsize=16)
 def _screened_step(fit_cfg, post_cfg, gal_cfg, dust_cfg, apply_av_prior,
-                   aux_names, n_real, tile, mesh=None):
+                   aux_names, n_real, tile, mesh=None,
+                   lngalprior=None, lndustprior=None):
     """ONE jitted executable for the funnel fit step: screening kernel
     + DMA slab gather + shortlist fit (`loglike_grid_screened`) + the
     fused MC-integration kernel (`lnpost_batch`) + all glue.  Per-batch
@@ -173,7 +174,8 @@ def _screened_step(fit_cfg, post_cfg, gal_cfg, dust_cfg, apply_av_prior,
             feh=aux.get("feh"), loga=aux.get("loga"),
             dust_profile=profile, global_idx=gidx,
             cfg=post_cfg, gal_cfg=gal_cfg, dust_cfg=dust_cfg,
-            apply_av_prior=apply_av_prior)
+            apply_av_prior=apply_av_prior,
+            lngalprior=lngalprior, lndustprior=lndustprior)
 
     if model_axis is None:
         return jax.jit(step_fn)
@@ -304,13 +306,16 @@ class BruteForce:
                     apply_av_prior, apply_dlabels, device_models,
                     lnprior_dev, feh=None, loga=None, has_ext=False,
                     engine="xla", tile=512, n_real=None,
-                    screen_tables=None, mesh=None):
+                    screen_tables=None, mesh=None,
+                    lngalprior=None, lndustprior=None):
 
         if engine == "fused_screen":
             coeffs_t, packed, aux_names, n_real_s, maskrow = screen_tables
             jstep = _screened_step(fit_cfg, post_cfg, gal_cfg, dust_cfg,
                                    apply_av_prior, aux_names, n_real_s,
-                                   tile, mesh=mesh)
+                                   tile, mesh=mesh,
+                                   lngalprior=lngalprior,
+                                   lndustprior=lndustprior)
 
             def step(keys, flux, err, mask, plx, plx_err, coord,
                      dust_mean, dust_std, dust_dist, ext_lnl):
@@ -332,7 +337,9 @@ class BruteForce:
                                feh=feh, loga=loga, dust_profile=profile,
                                cfg=post_cfg, gal_cfg=gal_cfg,
                                dust_cfg=dust_cfg,
-                               apply_av_prior=apply_av_prior)
+                               apply_av_prior=apply_av_prior,
+                               lngalprior=lngalprior,
+                               lndustprior=lndustprior)
 
         post_axes = (0, 0, 0, 0, 0,
                      0 if apply_av_prior else None,
@@ -385,6 +392,7 @@ class BruteForce:
             lnprior=None, lnprior_ext=None,
             wt_thresh=1e-3, cdf_thresh=2e-3, Ndraws=250,
             apply_agewt=True, apply_grad=True,
+            lngalprior=None, lndustprior=None,
             lngalprior_cfg=None, dustfile=None, dustmap=None,
             dust_cfg=None, apply_dlabels=True, data_coords=None,
             logl_dim_prior=True, ltol=3e-2, ltol_subthresh=1e-2,
@@ -404,6 +412,17 @@ class BruteForce:
         the fused Pallas kernel on TPU whenever the grid fits per
         device, the XLA/GSPMD path otherwise), `tile` (fused kernel
         model-tile width).
+
+        Custom priors (reference fitting.py:870-881): `lngalprior` /
+        `lndustprior` are jax-TRACEABLE callables replacing the
+        built-in Galactic / 3-D dust priors, with signatures
+        `lngalprior(dist, coord, feh=None, loga=None)` and
+        `lndustprior(dist, av, av_dist, av_mean, av_std)` (the
+        reference passes `labels`/`dustfile`; here labels arrive as
+        per-model arrays and the sightline profile is pre-queried).
+        With custom callables the fused engine's posterior runs
+        through the XLA MC integration instead of the Pallas MC
+        kernel (which hard-codes the built-ins).
 
         Results stream batch-by-batch: HDF5 rows are written as each
         batch completes (crash-recoverable via `resume`), and memory
@@ -551,7 +570,7 @@ class BruteForce:
                 apply_dlabels, None, None, has_ext=False,
                 engine="fused_screen", tile=tile,
                 screen_tables=(ct_s, pk_s, aux_names, n_real, mr_s),
-                mesh=mesh)
+                mesh=mesh, lngalprior=lngalprior, lndustprior=lndustprior)
         elif engine == "fused":
             fused_devices = (list(mesh.devices.flatten())
                              if mesh is not None else [None])
@@ -578,7 +597,9 @@ class BruteForce:
                         engine="fused_screen", tile=tile,
                         screen_tables=(put(coeffs_t), put(packed),
                                        aux_names, n_real,
-                                       put(maskrow))))
+                                       put(maskrow)),
+                        lngalprior=lngalprior,
+                        lndustprior=lndustprior))
             if not use_screen:
                 from .ops.pallas_loglike import prepare_coeffs
                 coeffs_t, n_real = prepare_coeffs(self.models, tile=tile)
@@ -613,7 +634,9 @@ class BruteForce:
                         loga=put(jnp.asarray(loga_h))
                         if loga_h is not None else None,
                         has_ext=ext_lnl is not None,
-                        engine="fused", tile=tile, n_real=n_real))
+                        engine="fused", tile=tile, n_real=n_real,
+                        lngalprior=lngalprior,
+                        lndustprior=lndustprior))
             if len(fused_devices) == 1:
                 step = steps[0]
             else:
@@ -667,7 +690,9 @@ class BruteForce:
                                     device_models, lnprior_dev,
                                     feh=feh_dev, loga=loga_dev,
                                     has_ext=ext_lnl is not None,
-                                    engine="xla")
+                                    engine="xla",
+                                    lngalprior=lngalprior,
+                                    lndustprior=lndustprior)
 
         writer = None
         if save_file is not None:

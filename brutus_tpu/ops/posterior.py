@@ -150,7 +150,8 @@ def _psd_repair(icov, cov, scale, valid, cfg: PosteriorConfig):
 def _select_stage(results, lnprior_grid, coord,
                   parallax, parallax_err, feh, loga, dust_profile,
                   cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
-                  dust_cfg: DustPriorConfig, apply_av_prior):
+                  dust_cfg: DustPriorConfig, apply_av_prior,
+                  lngalprior=None, lndustprior=None):
     """Culls + priors + top-K selection + PSD repair — everything of
     `lnpost_grid` before the Monte-Carlo integration (reference
     `brutus/fitting.py:823-1065` + the chi2/Ndim bookkeeping of
@@ -229,12 +230,26 @@ def _select_stage(results, lnprior_grid, coord,
     # turns `dist` into inf); matches the fused MC kernel's clamp.
     dist = 1.0 / jnp.sqrt(jnp.maximum(scale, 1e-30))
     lnp_mle = lnlike + lnprior_grid
-    lnp_mle = lnp_mle + gal_lnprior(dist, coord, feh=feh_s, loga=loga_s,
-                                    cfg=gal_cfg)
+    # Custom prior callables (reference fitting.py:859-876,999-1010):
+    # jax-traceable `lngalprior(dist, coord, feh=, loga=)` /
+    # `lndustprior(dist, av, av_dist, av_mean, av_std)` replace the
+    # built-ins (the reference passes `labels`/`dustfile`; here labels
+    # arrive as feh/loga arrays and the sightline profile is
+    # pre-queried — see README divergences).
+    if lngalprior is not None:
+        lnp_mle = lnp_mle + lngalprior(dist, coord, feh=feh_s,
+                                       loga=loga_s)
+    else:
+        lnp_mle = lnp_mle + gal_lnprior(dist, coord, feh=feh_s,
+                                        loga=loga_s, cfg=gal_cfg)
     if apply_av_prior and dust_profile is not None:
         av_dist, av_mean, av_std = dust_profile
-        lnp_mle = lnp_mle + dust_lnprior(dist, av, av_dist, av_mean,
-                                         av_std, dust_cfg)
+        if lndustprior is not None:
+            lnp_mle = lnp_mle + lndustprior(dist, av, av_dist, av_mean,
+                                            av_std)
+        else:
+            lnp_mle = lnp_mle + dust_lnprior(dist, av, av_dist, av_mean,
+                                             av_std, dust_cfg)
     lnp_mle = jnp.where(mask1 & _is_valid(lnp_mle), lnp_mle, NEG_BIG)
 
     # --- cull #2 on posterior, then re-base to lnlike + static prior
@@ -307,7 +322,8 @@ def _select_stage(results, lnprior_grid, coord,
 
 
 @partial(jax.jit,
-         static_argnames=("cfg", "gal_cfg", "dust_cfg", "apply_av_prior"))
+         static_argnames=("cfg", "gal_cfg", "dust_cfg", "apply_av_prior",
+                          "lngalprior", "lndustprior"))
 def lnpost_grid(key, results, lnprior_grid, coord,
                 parallax=jnp.nan, parallax_err=jnp.nan,
                 feh=None, loga=None,
@@ -315,7 +331,8 @@ def lnpost_grid(key, results, lnprior_grid, coord,
                 cfg: PosteriorConfig = PosteriorConfig(),
                 gal_cfg: GalPriorConfig = GalPriorConfig(),
                 dust_cfg: DustPriorConfig = DustPriorConfig(),
-                apply_av_prior=True):
+                apply_av_prior=True,
+                lngalprior=None, lndustprior=None):
     """Posterior weights + Monte-Carlo `(dist, Av, Rv)` draws for one star.
 
     Parameters
@@ -342,7 +359,8 @@ def lnpost_grid(key, results, lnprior_grid, coord,
     """
     sel = _select_stage(results, lnprior_grid, coord, parallax,
                         parallax_err, feh, loga, dust_profile,
-                        cfg, gal_cfg, dust_cfg, apply_av_prior)
+                        cfg, gal_cfg, dust_cfg, apply_av_prior,
+                        lngalprior=lngalprior, lndustprior=lndustprior)
     (lnp_sel, valid, sel_idx, scale_k, av_k, rv_k, cov_k, chi2_k,
      ndim_out, chi2min, feh_k, loga_k) = (
         sel["lnp_sel"], sel["valid"], sel["sel_idx"], sel["scale_k"],
@@ -368,14 +386,20 @@ def lnpost_grid(key, results, lnprior_grid, coord,
     # making `dist_mc` inf (matches the fused kernel's clamp).
     par_mc = jnp.sqrt(jnp.maximum(s_mc, 1e-30))
     dist_mc = 1.0 / par_mc
-    lnp_mc = gal_lnprior(dist_mc, coord,
-                         feh=(feh_k[:, None] if feh_k is not None else None),
-                         loga=(loga_k[:, None]
-                               if loga_k is not None else None),
-                         cfg=gal_cfg)
+    feh_mc = feh_k[:, None] if feh_k is not None else None
+    loga_mc = loga_k[:, None] if loga_k is not None else None
+    if lngalprior is not None:     # custom callable (fitting.py:870)
+        lnp_mc = lngalprior(dist_mc, coord, feh=feh_mc, loga=loga_mc)
+    else:
+        lnp_mc = gal_lnprior(dist_mc, coord, feh=feh_mc, loga=loga_mc,
+                             cfg=gal_cfg)
     if apply_av_prior and dust_profile is not None:
-        lnp_mc = lnp_mc + dust_lnprior(dist_mc, a_mc, av_dist, av_mean,
-                                       av_std, dust_cfg)
+        if lndustprior is not None:   # custom callable (fitting.py:876)
+            lnp_mc = lnp_mc + lndustprior(dist_mc, a_mc, av_dist,
+                                          av_mean, av_std)
+        else:
+            lnp_mc = lnp_mc + dust_lnprior(dist_mc, a_mc, av_dist,
+                                           av_mean, av_std, dust_cfg)
     lnp_mc = lnp_mc + parallax_lnprior(par_mc, parallax, parallax_err)
     inbounds = ((s_mc >= 1e-20) &
                 (a_mc >= cfg.avlim[0]) & (a_mc <= cfg.avlim[1]) &
@@ -482,7 +506,8 @@ def _batch_fns(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
         cb = jnp.cos(br)
         uvec = jnp.stack([cb * jnp.cos(lr), cb * jnp.sin(lr),
                           jnp.sin(br)]).astype(dtype)
-        v = jnp.asarray(_M, dtype) @ uvec
+        v = jnp.matmul(jnp.asarray(_M, dtype), uvec,
+                       precision=jax.lax.Precision.HIGHEST)
 
         have = (jnp.isfinite(parallax) & jnp.isfinite(parallax_err)
                 & (parallax_err > 0))
@@ -543,25 +568,46 @@ def _batch_fns(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
         any_ok = jnp.any(_is_valid(lnp_sel))
         draw_logits = jnp.where(any_ok, lnp_sel, -0.5 * chi2_draw)
         idxs = _categorical_cdf(sel["kidx"], draw_logits, cfg.n_draws)
-        # The kernel emits draw fields as (NMC_PAD, K); transpose once
-        # (streaming copy) so the resampling gathers below are
-        # model-major ROW gathers — lane-direction (:, idxs) gathers
-        # cost ~50x more on TPU.  Slicing to the real n_mc also makes
-        # the imc categorical see the exact logits shape of the XLA
-        # path, so (same key) it makes the identical choice.
-        lnmcT = lnmc[:nmc].T                        # (K, nmc)
-        imc = jax.random.categorical(sel["kmc"], lnmcT[idxs], axis=-1)
-        gat = lambda x: x[idxs]
-        draw = lambda x: x[:nmc].T[idxs, imc]
+        # Resampling WITHOUT gathers: TPU batched gathers run at
+        # ~25k slices/ms regardless of slice size, and this stage's
+        # ~10 per-field idxs-gathers dominated its 13+ ms cost.  A
+        # one-hot selection matrix turns every gather into an MXU
+        # matmul — EXACT (each one-hot row has a single 1.0; the
+        # bf16x3 f32 decomposition reproduces x*1+0+...+0 bit-exactly)
+        # — and the (nmc, K) kernel outputs contract directly over K,
+        # which also kills the big (K, nmc) transpose.
+        K = lnp_sel.shape[0]
+        dtype = lnp_sel.dtype
+        ndraws = idxs.shape[0]
+        hi = jax.lax.Precision.HIGHEST
+        oh = (idxs[:, None]
+              == jnp.arange(K, dtype=jnp.int32)[None, :]).astype(dtype)
+        mlev = jnp.concatenate(
+            [sel["scale_k"][:, None], sel["av_k"][:, None],
+             sel["rv_k"][:, None], lnp_sel[:, None],
+             sel["cov_k"].reshape(K, 9)], axis=1)   # (K, 13)
+        rows = jnp.matmul(oh, mlev, precision=hi)   # (ndraws, 13)
+        dm = jnp.concatenate(
+            [lnmc[:nmc], dist_k[:nmc], red_k[:nmc], dred_k[:nmc]],
+            axis=0)                                 # (4*nmc, K)
+        dmr = jnp.matmul(dm, oh.T, precision=hi).T  # (ndraws, 4*nmc)
+        lr = dmr[:, :nmc]                           # == lnmcT[idxs]
+        imc = jax.random.categorical(sel["kmc"], lr, axis=-1)
+        ohm = (imc[:, None]
+               == jnp.arange(nmc, dtype=jnp.int32)[None, :]).astype(dtype)
+        pick = lambda lo: jnp.sum(dmr[:, lo:lo + nmc] * ohm, axis=1)
         sel_idx = sel["sel_idx"]
         sel_out = global_idx[sel_idx] if has_global else sel_idx
+        # int32 indices ride the one-hot matmul as f32 (exact < 2^24).
+        midx = jnp.matmul(oh, sel_out.astype(dtype)[:, None],
+                          precision=hi)[:, 0]
         return dict(
-            model_idx=sel_out[idxs],
-            scale=gat(sel["scale_k"]), av=gat(sel["av_k"]),
-            rv=gat(sel["rv_k"]), cov_sar=gat(sel["cov_k"]),
-            lnprob=gat(lnp_sel),
-            dist=draw(dist_k), red=draw(red_k), dred=draw(dred_k),
-            logwt=lnmcT[idxs, imc],
+            model_idx=jnp.round(midx).astype(sel_out.dtype),
+            scale=rows[:, 0], av=rows[:, 1],
+            rv=rows[:, 2], cov_sar=rows[:, 4:13].reshape(-1, 3, 3),
+            lnprob=rows[:, 3],
+            dist=pick(nmc), red=pick(2 * nmc), dred=pick(3 * nmc),
+            logwt=jnp.sum(lr * ohm, axis=1),
             log_evidence=log_evid, chi2min=sel["chi2min"],
             ndim=sel["ndim"],
             sel_idx=sel_out, lnp_sel=lnp_sel, valid_sel=valid,
@@ -580,7 +626,7 @@ def lnpost_batch(keys, results, lnprior_grid, coord,
                  gal_cfg: GalPriorConfig = GalPriorConfig(),
                  dust_cfg: DustPriorConfig = DustPriorConfig(),
                  apply_av_prior=True, tile=512, interpret=None,
-                 stop_after=None):
+                 stop_after=None, lngalprior=None, lndustprior=None):
     """Batched `lnpost_grid` with the Monte-Carlo integration fused
     into one Pallas kernel (`ops.pallas_mc`).
 
@@ -598,6 +644,35 @@ def lnpost_batch(keys, results, lnprior_grid, coord,
     (av_dist (Nd,), av_mean (B, Nd), av_std (B, Nd))`.
     """
     from .pallas_mc import mc_integrate, NL_PAD
+
+    if lngalprior is not None or lndustprior is not None:
+        # Custom prior callables: the fused MC kernel hard-codes the
+        # built-in Galactic/dust models, so route through the XLA MC
+        # integration (vmapped `lnpost_grid`) — same math, ~2-3x
+        # slower posterior stage; documented tradeoff for custom
+        # priors (reference fitting.py:870-881 accepts arbitrary
+        # python callables and is ~1000x slower throughout).
+        fn = partial(lnpost_grid, cfg=cfg, gal_cfg=gal_cfg,
+                     dust_cfg=dust_cfg, apply_av_prior=apply_av_prior,
+                     lngalprior=lngalprior, lndustprior=lndustprior)
+        B = keys.shape[0]
+        coord_b = jnp.broadcast_to(
+            jnp.asarray(coord, results["lnlike"].dtype), (B, 2))
+        if parallax is None:
+            parallax = jnp.full((B,), jnp.nan)
+            parallax_err = jnp.full((B,), jnp.nan)
+        dp_axes = ((None, 0, 0) if dust_profile is not None else None)
+        return jax.vmap(
+            lambda key, res, lp, co, px, pe, f_, la, gi, dp: fn(
+                key, res, lp, co, parallax=px, parallax_err=pe,
+                feh=f_, loga=la, dust_profile=dp, global_idx=gi),
+            in_axes=(0, 0, 0, 0, 0, 0,
+                     0 if feh is not None else None,
+                     0 if loga is not None else None,
+                     0 if global_idx is not None else None,
+                     dp_axes),
+        )(keys, results, lnprior_grid, coord_b, parallax, parallax_err,
+          feh, loga, global_idx, dust_profile)
 
     B = keys.shape[0]
     lnp = results["lnlike"]

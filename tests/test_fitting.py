@@ -442,3 +442,68 @@ def test_lnpost_cdf_threshold_mode():
     # The best-likelihood model must survive a CDF cull.
     best = int(np.asarray(res["lnlike"]).argmax())
     assert best in np.asarray(out["sel_idx"])[np.asarray(out["valid_sel"])]
+
+
+def test_custom_prior_callables():
+    """Reference parity (fitting.py:870-881): `fit` accepts
+    jax-traceable `lngalprior(dist, coord, feh=, loga=)` and
+    `lndustprior(dist, av, av_dist, av_mean, av_std)` callables in
+    place of the built-in Galactic/dust priors, on BOTH engines (the
+    fused engine routes its posterior through the XLA MC integration,
+    since the Pallas MC kernel hard-codes the built-ins)."""
+    trng = np.random.default_rng(404)
+    n_star = 4
+    data = np.zeros((n_star, NFILT))
+    errs = np.zeros((n_star, NFILT))
+    dists = [0.8, 1.1, 1.5, 2.0]
+    for i in range(n_star):
+        data[i], errs[i] = make_star(MC, 30 + 11 * i, 0.4, 3.2,
+                                     dists[i], rng=trng)
+    mask = np.ones((n_star, NFILT), bool)
+    coords = np.tile(COORD, (n_star, 1))
+
+    def lngal(dist, coord, feh=None, loga=None):
+        # Exponential-in-distance toy prior (truncated softly).
+        return -dist / 0.7 + 2.0 * jnp.log(jnp.maximum(dist, 1e-10))
+
+    def lndust(dist, av, av_dist, av_mean, av_std):
+        mu = jnp.interp(dist, av_dist, av_mean)
+        return -0.5 * ((av - mu) / 0.3) ** 2
+
+    dust_dist = np.linspace(0.05, 5.0, 16)
+    dust_mean = np.tile(np.linspace(0.0, 1.0, 16), (n_star, 1))
+    dust_std = np.full((n_star, 16), 0.2)
+
+    kw = dict(save_file=None, data_coords=coords,
+              parallax=1.0 / np.asarray(dists),
+              parallax_err=0.05 / np.asarray(dists),
+              Nmc_prior=16, Ndraws=64, batch_size=4, n_sel_max=64,
+              verbose=False, return_results=True,
+              lngalprior=lngal, lndustprior=lndust)
+    bf = BruteForce(MC, LABELS, LMASK)
+
+    import brutus_tpu.dustmap as dm
+
+    class FakeMap:
+        def query(self, coords_q):
+            return dust_dist, dust_mean, dust_std
+
+    out_x = bf.fit(data, errs, mask, engine="xla", dustmap=FakeMap(),
+                   **kw)
+    assert np.isfinite(out_x["log_evidence"]).all()
+    assert np.isfinite(out_x["dist"]).all()
+
+    out_f = bf.fit(data, errs, mask, engine="fused", tile=64,
+                   screen_k=128, dustmap=FakeMap(), **kw)
+    np.testing.assert_allclose(out_f["log_evidence"],
+                               out_x["log_evidence"], rtol=0, atol=1.0)
+    d_f = np.median(out_f["dist"], axis=1)
+    d_x = np.median(out_x["dist"], axis=1)
+    np.testing.assert_allclose(d_f, d_x, rtol=0.05)
+
+    # The callables actually change the answer vs the built-ins.
+    out_b = bf.fit(data, errs, mask, engine="xla", dustmap=FakeMap(),
+                   **{k: v for k, v in kw.items()
+                      if k not in ("lngalprior", "lndustprior")})
+    assert np.abs(np.asarray(out_b["log_evidence"])
+                  - np.asarray(out_x["log_evidence"])).max() > 1e-3
