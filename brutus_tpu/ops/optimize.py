@@ -335,10 +335,9 @@ def _flux_polish(flux, wt_flux, mcoeffs, init_arrays, keep, cfg: FitConfig):
 # (parity: reference brutus/fitting.py:579-820 `loglike`)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("cfg",))
-def loglike_grid(flux, fluxerr, mask, mag_coeffs,
-                 parallax=jnp.nan, parallax_err=jnp.nan,
-                 cfg: FitConfig = FitConfig()):
+def _loglike_grid_body(flux, fluxerr, mask, mag_coeffs,
+                       parallax, parallax_err, av_init, rv_init,
+                       cfg: FitConfig):
     """Log-likelihood of one star against every model on the grid,
     profiling out `(s, Av, Rv)` per model.
 
@@ -357,6 +356,11 @@ def loglike_grid(flux, fluxerr, mask, mag_coeffs,
     flux, fluxerr, mask : (F,) per-band data.
     mag_coeffs : (M, F, 3) grid coefficients.
     parallax, parallax_err : scalars (NaN when absent).
+    av_init, rv_init : optional (M,) per-model magnitude-phase seeds
+        (reference `fitting.py:583-585, 700-703` — warm-starting
+        repeat fits); default to the scalar `cfg.av0`/`cfg.rv0`.
+        Ignored when `cfg.mag_direct_init` (the direct solve replaces
+        any seed).
 
     Returns
     -------
@@ -377,8 +381,10 @@ def loglike_grid(flux, fluxerr, mask, mag_coeffs,
      tot_var) = prepare_star_data(flux, fluxerr, mask, cfg)
 
     # --- phase A: magnitude fit (fitting.py:727-741) ---
-    av0 = jnp.full((M,), cfg.av0, dtype)
-    rv0 = jnp.full((M,), cfg.rv0, dtype)
+    av0 = (jnp.broadcast_to(jnp.asarray(av_init, dtype), (M,))
+           if av_init is not None else jnp.full((M,), cfg.av0, dtype))
+    rv0 = (jnp.broadcast_to(jnp.asarray(rv_init, dtype), (M,))
+           if rv_init is not None else jnp.full((M,), cfg.rv0, dtype))
     av, rv, n_iter_mag = optimize_mag(mags, wt_mag, mag_coeffs, av0, rv0, cfg)
     (models, rvecs, drvecs, scale, icov_parts,
      resid) = sed_mle(flux, wt_flux, mag_coeffs, av, rv, cfg)
@@ -447,6 +453,22 @@ def loglike_grid(flux, fluxerr, mask, mag_coeffs,
     return dict(lnlike=lnl, ndim=ndim, chi2=chi2, scale=scale,
                 av=av, rv=rv, icov_parts=icov_parts,
                 n_iter=jnp.stack([n_iter_mag, n_iter_flux]))
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def loglike_grid(flux, fluxerr, mask, mag_coeffs,
+                 parallax=jnp.nan, parallax_err=jnp.nan,
+                 av_init=None, rv_init=None,
+                 cfg: FitConfig = FitConfig()):
+    """See `_loglike_grid_body`.  Traced under
+    `default_matmul_precision('highest')`: this engine is the
+    exact-semantics verifier, and the TPU MXU truncates f32 matmul
+    operands to bf16 (~0.2% noise) at default precision — the
+    filter-axis `X @ w` contractions must not pay that."""
+    with jax.default_matmul_precision("highest"):
+        return _loglike_grid_body(flux, fluxerr, mask, mag_coeffs,
+                                  parallax, parallax_err,
+                                  av_init, rv_init, cfg)
 
 
 __all__ = ["optimize_mag", "optimize_flux_step", "sed_mle", "loglike_grid"]

