@@ -48,9 +48,19 @@ def initialize(coordinator_address=None, num_processes=None,
     traffic is one batch of stars per step.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return
+    # NOTE: do NOT probe jax.process_count() here — it initializes the
+    # XLA backend, after which jax.distributed.initialize refuses to
+    # run.  The distributed client handle is a non-initializing check
+    # for an externally bootstrapped cluster.
+    try:
+        from jax._src import distributed as _dist
+        if getattr(_dist.global_state, "client", None) is not None:
+            _initialized = True
+            return
+    except ImportError:
+        pass
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -1,5 +1,7 @@
 """Sharding tests: 8-device virtual CPU mesh vs single-device parity."""
 
+import os
+
 import numpy as np
 import jax
 import pytest
@@ -196,3 +198,45 @@ def test_sharded_ext_prior_with_padding(problem):
                  mesh=mesh)
     assert np.isfinite(out["log_evidence"]).all()
     assert (out["model_idx"] < 250).all()
+
+
+@pytest.mark.slow
+def test_multihost_two_process_psum():
+    """Real multi-process bring-up: two OS processes join a JAX
+    distributed cluster through `parallel.initialize()` (coordinator
+    on localhost), build ONE global ('data','model') mesh spanning
+    both, and execute a cross-process GSPMD reduction.  Backs the
+    v5e-16 launch recipe in `parallel/mesh.py` with a passing test —
+    the in-process tests only ever exercise the single-process
+    degraded branch."""
+    import socket
+    import subprocess
+    import sys as _sys
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), "_mh_worker.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    # The container's sitecustomize registers a TPU PJRT plugin at
+    # interpreter start, which initializes the XLA backend BEFORE the
+    # worker can call jax.distributed.initialize.  Clearing its gate
+    # env var gives the workers a clean CPU-only interpreter.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [subprocess.Popen(
+        [_sys.executable, worker, str(i), str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True, env=env) for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"MHOK pid={i} procs=2 total=28.0" in out, out
