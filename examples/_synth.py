@@ -60,13 +60,19 @@ def make_data_files():
     h = 8
     xmin = np.array([2000.0, 0.0, -3.0, -0.3, 0.0, 1.0])
     xmax = np.array([20000.0, 6.0, 1.0, 0.7, 2.5, 6.0])
+    # Weight scales chosen so the bolometric corrections vary by
+    # ~1-2 mag across the label grid (like the real C3K networks):
+    # with sigma ~0.5 the double sigmoid squashes the BCs to ~0.02 mag
+    # of total color variation, leaving the likelihood unable to
+    # discriminate models (every model fits every star — a flat,
+    # physically absurd grid).
     write_nn_file(paths["nn"], FILTERS,
-                  rng.normal(size=(NF, h, 6)) * 0.5,
-                  rng.normal(size=(NF, h, 1)) * 0.1,
-                  rng.normal(size=(NF, h, h)) * 0.5,
-                  rng.normal(size=(NF, h, 1)) * 0.1,
-                  rng.normal(size=(NF, 1, h)) * 0.5,
-                  rng.normal(size=(NF, 1, 1)) * 0.1, xmin, xmax)
+                  rng.normal(size=(NF, h, 6)) * 5.0,
+                  rng.normal(size=(NF, h, 1)) * 1.0,
+                  rng.normal(size=(NF, h, h)) * 1.5,
+                  rng.normal(size=(NF, h, 1)) * 0.5,
+                  rng.normal(size=(NF, 1, h)) * 6.0,
+                  rng.normal(size=(NF, 1, 1)) * 0.3, xmin, xmax)
 
     feh_u = np.arange(-1.0, 0.55, 0.25)
     afe_u = np.array([0.0])
