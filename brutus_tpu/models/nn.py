@@ -70,11 +70,19 @@ class FastNN:
         """
         x = jnp.asarray(x)
         xe = self.encode(x)
+        # Precision.HIGHEST: at default precision the TPU MXU
+        # truncates f32 einsum operands to bf16 (~0.4% relative),
+        # i.e. ~0.02-0.04 mag of noise in the generated grids; these
+        # einsums are a negligible share of grid-generation time.
+        hi = jax.lax.Precision.HIGHEST
         a1 = jax.nn.sigmoid(
-            jnp.einsum("fho,...o->...fh", self.w1, xe) + self.b1)
+            jnp.einsum("fho,...o->...fh", self.w1, xe,
+                       precision=hi) + self.b1)
         a2 = jax.nn.sigmoid(
-            jnp.einsum("fgh,...fh->...fg", self.w2, a1) + self.b2)
-        y = jnp.einsum("fog,...fg->...fo", self.w3, a2)[..., 0] + self.b3
+            jnp.einsum("fgh,...fh->...fg", self.w2, a1,
+                       precision=hi) + self.b2)
+        y = jnp.einsum("fog,...fg->...fo", self.w3, a2,
+                       precision=hi)[..., 0] + self.b3
         ok = jnp.all(jnp.isfinite(x) & (x >= self.xmin) & (x <= self.xmax),
                      axis=-1)
         return jnp.where(ok[..., None], y, jnp.nan)

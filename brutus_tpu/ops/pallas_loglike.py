@@ -272,7 +272,7 @@ def _make_kernel(cfg: FitConfig, per_star=False):
 # ~8-16 to ~±4, cutting the b0 = C0 - mag0^T.w cancellation noise ~3x.
 SCREEN_MAG_CENTER = 12.0
 N_SCREEN_ROWS = 9    # r0, dr, m0, r0^2, r0*dr, dr^2, m0*r0, m0*dr, m0^2
-SCREEN_FP = 16       # contraction width (F padded; bf16 sublane quantum)
+SCREEN_FP = 8        # contraction width (F padded; f32 sublane quantum)
 
 
 @lru_cache(maxsize=32)
@@ -287,12 +287,21 @@ def _make_screen_kernel(cfg: FitConfig):
     (`brutus/fitting.py:743-768`).  Every bilinear term of the normal
     equations and of the chi2 quadratic-form expansion is a
     `(B, F) @ (F, T)` contraction, so the heavy lifting runs as 12
-    bf16 matmuls on the MXU with f32 accumulation (the v2 kernel did
-    the same ~30 GFLOP/batch as elementwise VPU work and was the
-    single largest pipeline stage at 16 ms/batch); only the ~80-flop
-    3x3-solve epilogue per (star, model) stays on the VPU.  bf16
-    inputs cost ~0.5% score noise — irrelevant for block ranking with
-    a `screen_k` ~80x wider than the posterior's survivor set.
+    f32 matmuls on the MXU (the v2 kernel did the same ~30
+    GFLOP/batch as elementwise VPU work and was the single largest
+    pipeline stage at 16 ms/batch); only the ~80-flop 3x3-solve
+    epilogue per (star, model) stays on the VPU.
+
+    The matmuls MUST run at `Precision.HIGHEST` (true-f32 products;
+    storing the tables as f32 is NOT enough — the MXU truncates f32
+    operands to bf16 at default precision): `rss0 = q0 - 2 Cm + Q2`
+    cancels three sums of magnitude ~ SNR^2 x mag^2 x F (~7e5 at
+    SNR 40) down to the ~1-10 residual chi2, so bf16's 2^-8 relative
+    noise on `Cm`/`Q2` injects +-O(1e3) chi2 noise — measured to
+    scramble the shortlist completely on a correlated 750k-model
+    SEDmaker grid (posterior recall 0.07; HIGHEST restores ~1.0 — see
+    RECALL.json), while staying invisible on random uncorrelated
+    benchmark grids whose score separations are ~1e3 nats.
     """
     avm, av_sig = cfg.av_gauss
     rvm, _ = cfg.rv_gauss
@@ -302,13 +311,28 @@ def _make_screen_kernel(cfg: FitConfig):
 
     def kernel(wb_ref, mwb_ref, srow_ref, maskrow_ref, tab_ref,
                score_ref):
-        # wb/mwb: (B, FP) bf16 weights / centered-mag-weighted data;
-        # srow: (B, 8) f32 per-star scalars; tab: (9, FP, T) bf16
+        # wb/mwb: (B, FP) f32 weights / centered-mag-weighted data;
+        # srow: (B, 8) f32 per-star scalars; tab: (9, FP, T) f32
         # per-model rows; score: (B, T) f32.
         w = wb_ref[:]
         mw = mwb_ref[:]
+        # Precision.HIGHEST is ESSENTIAL: on the TPU MXU an f32
+        # matmul at default precision truncates the operands to bf16
+        # (one pass), and the rss0/chi2 expansion below cancels
+        # ~7e5-magnitude sums down to O(1), so bf16's 2^-8 operand
+        # noise injects +-O(1e3) chi2 noise — measured to scramble the
+        # funnel shortlist completely on a correlated 750k-model grid
+        # (posterior recall 0.07 at screen_k=8192) while staying
+        # invisible on random benchmark grids with ~1e3-nat
+        # separations.  HIGHEST runs the full bf16x6 decomposition
+        # (true-f32 products, f32 accumulation; measured ~8% of
+        # full-fit throughput vs the broken bf16 screen).
+        # Precision.HIGH (bf16x3) crashes the Mosaic lowering here —
+        # do not "optimize" this back down without re-running
+        # scratch/recall_curve.py end to end.
         dot = lambda a, b: jax.lax.dot_general(
             a, b, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
         A01 = dot(w, tab_ref[0])       # sum w r0
         A02 = dot(w, tab_ref[1])       # sum w dr
@@ -377,17 +401,17 @@ def _make_screen_kernel(cfg: FitConfig):
 
 
 @lru_cache(maxsize=32)
-def _make_screen_call(cfg, B, M, tile, dtype, interpret):
-    """`B` is the screen-padded star count (multiple of 16: the bf16
-    star matrices put stars in sublanes)."""
+def _make_screen_call(cfg, B, M, tile, fp, dtype, interpret):
+    """`B` is the screen-padded star count (multiple of 8: the star
+    matrices put stars in sublanes); `fp` the padded filter count."""
     num_tiles = M // tile
-    star_spec = pl.BlockSpec((B, SCREEN_FP), lambda t: (0, 0),
+    star_spec = pl.BlockSpec((B, fp), lambda t: (0, 0),
                              memory_space=pltpu.VMEM)
     srow_spec = pl.BlockSpec((B, 8), lambda t: (0, 0),
                              memory_space=pltpu.VMEM)
     mask_spec = pl.BlockSpec((1, tile), lambda t: (0, t),
                              memory_space=pltpu.VMEM)
-    tab_spec = pl.BlockSpec((N_SCREEN_ROWS, SCREEN_FP, tile),
+    tab_spec = pl.BlockSpec((N_SCREEN_ROWS, fp, tile),
                             lambda t: (0, 0, t),
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((B, tile), lambda t: (0, t),
@@ -402,15 +426,14 @@ def _make_screen_call(cfg, B, M, tile, dtype, interpret):
     )
 
 
-@partial(jax.jit, static_argnames=("n_pad",))
-def _screen_star_mats(mags, wt_mag, plx, plxw, n_pad):
+@partial(jax.jit, static_argnames=("n_pad", "fp"))
+def _screen_star_mats(mags, wt_mag, plx, plxw, n_pad, fp):
     """Star-side inputs for the MXU screening kernel.
 
-    Returns `(wb, mwb, srow)`: bf16 `(Bs, FP)` weight and
+    Returns `(wb, mwb, srow)`: f32 `(Bs, FP)` weight and
     centered-mag-weighted matrices plus the f32 `(Bs, 8)` per-star
-    scalar rows `[a00, C0, q0, plx, plxw, 0, 0, 0]` (computed in f32
-    BEFORE the bf16 cast — only the bilinear model terms pay the bf16
-    noise).  `Bs = B + n_pad` pads stars to the bf16 sublane quantum.
+    scalar rows `[a00, C0, q0, plx, plxw, 0, 0, 0]`.  `Bs = B + n_pad`
+    pads stars to the sublane quantum.
     """
     B, F = mags.shape
     mc = (mags - SCREEN_MAG_CENTER) * jnp.sign(wt_mag)  # 0 where wt==0
@@ -421,9 +444,9 @@ def _screen_star_mats(mags, wt_mag, plx, plxw, n_pad):
     zero = jnp.zeros_like(a00)
     srow = jnp.stack([a00, C0, q0, plx[:, 0], plxw[:, 0],
                       zero, zero, zero], axis=1)
-    fp = SCREEN_FP - F
-    wb = jnp.pad(wt_mag, ((0, n_pad), (0, fp))).astype(jnp.bfloat16)
-    mwb = jnp.pad(mcw, ((0, n_pad), (0, fp))).astype(jnp.bfloat16)
+    pad_f = fp - F
+    wb = jnp.pad(wt_mag, ((0, n_pad), (0, pad_f))).astype(jnp.float32)
+    mwb = jnp.pad(mcw, ((0, n_pad), (0, pad_f))).astype(jnp.float32)
     srow = jnp.pad(srow, ((0, n_pad), (0, 0)))
     return wb, mwb, srow
 
@@ -606,9 +629,9 @@ def prepare_screen(mag_coeffs, aux=None, tile=512, n_shards=1):
     Returns
     -------
     (screen_tab, packed, aux_names, n_real, maskrow): the
-    `(9, SCREEN_FP, Mp)` bf16 MXU screening table (per-model rows
+    `(9, FP, Mp)` f32 MXU screening table (per-model rows
     `r0, dr, m0, r0^2, r0*dr, dr^2, m0*r0, m0*dr, m0^2` with centered
-    magnitudes, F zero-padded to the bf16 sublane quantum), the
+    magnitudes, F zero-padded to the sublane quantum), the
     COLUMN-MAJOR `(3F + n_aux, Mp)` slab-gather table (row `k*F + f`
     holds coefficient `k` of filter `f`, so gathered slabs land
     directly in the stage-2 kernel's `(3, F, B, P)` layout with a free
@@ -626,11 +649,12 @@ def prepare_screen(mag_coeffs, aux=None, tile=512, n_shards=1):
     ct = np.asarray(coeffs_t)                      # (3, F, Mp) f32
     m0 = ct[0] - SCREEN_MAG_CENTER
     r0, dr = ct[1], ct[2]
-    tab = np.zeros((N_SCREEN_ROWS, SCREEN_FP, Mp), np.float32)
+    fp = -(-F // SCREEN_FP) * SCREEN_FP
+    tab = np.zeros((N_SCREEN_ROWS, fp, Mp), np.float32)
     for i, row in enumerate([r0, dr, m0, r0 * r0, r0 * dr, dr * dr,
                              m0 * r0, m0 * dr, m0 * m0]):
         tab[i, :F] = row
-    screen_tab = jnp.asarray(tab.astype(jnp.bfloat16))
+    screen_tab = jnp.asarray(tab)
     rows = [np.ascontiguousarray(mc.transpose(2, 1, 0)).reshape(3 * F, M)]
     names = []
     if aux:
@@ -865,11 +889,13 @@ def loglike_grid_screened(flux, fluxerr, mask, screen_tab, packed,
     plx, plxw = _screen_parallax(parallax, parallax_err)
 
     grp = lambda x: x.reshape(Bp // GROUP, GROUP, F).swapaxes(1, 2)
-    # MXU screening: stars in sublanes (padded to the bf16 quantum).
-    Bs = -(-Bp // SCREEN_FP) * SCREEN_FP
+    # MXU screening: stars in sublanes (padded to the sublane quantum).
+    Bs = -(-Bp // 8) * 8
+    fp = screen_tab.shape[1]
     wb, mwb, srow = _screen_star_mats(mags, wt_mag, plx[:, None],
-                                      plxw[:, None], Bs - Bp)
-    screen = _make_screen_call(cfg, Bs, M, tile, "float32", interpret)
+                                      plxw[:, None], Bs - Bp, fp)
+    screen = _make_screen_call(cfg, Bs, M, tile, fp, "float32",
+                               interpret)
     score = screen(wb, mwb, srow, maskrow, screen_tab)
     if Bs != Bp:
         score = score[:Bp]

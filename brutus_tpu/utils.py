@@ -324,7 +324,10 @@ def sample_multivariate_normal(key, mean, cov, size=1, eps=1e-30):
         ans = mvn3_transform(mean, cholesky3(K), z)
     else:
         L = jnp.linalg.cholesky(K)
-        ans = mean[:, :, None] + jnp.matmul(L, z)  # (N, d, size)
+        # HIGHEST: TPU matmuls truncate f32 operands to bf16 at
+        # default precision — keep the draws exact vs the f64 oracle.
+        ans = mean[:, :, None] + jnp.matmul(
+            L, z, precision=jax.lax.Precision.HIGHEST)  # (N, d, size)
     return jnp.moveaxis(ans, 0, -1)                # (d, size, N)
 
 

@@ -1,0 +1,173 @@
+"""Funnel shortlist recall on a realistic LABEL-ORDERED correlated grid.
+
+Round-2 verdict: every funnel test used grids with uncorrelated random
+coefficients, so the block-selection claim ("label-ordered grids
+cluster high-likelihood models into contiguous bands") was asserted,
+never measured.  This script builds a full-size label-ordered grid
+with SEDmaker (synthetic tracks/NN physics, same schema as MIST), fits
+stars drawn from it, and measures the posterior-mass recall of the
+screening shortlist vs the dense engine across screen_k x screen_block.
+
+Run on TPU:  python scratch/recall_curve.py [n_star]
+Writes RECALL.json at the repo root.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                "examples"))
+
+import numpy as np
+
+import _synth  # noqa: E402
+
+
+def build_grid():
+    """Label-ordered ~750k-model grid via SEDmaker (order: mini-major,
+    then eep, then feh — the reference's own grid file ordering)."""
+    from brutus_tpu.models.sedmaker import SEDmaker
+    cache = os.path.join(_synth.workdir(), "recall_grid.npz")
+    if os.path.exists(cache):
+        d = np.load(cache)
+        print(f"grid: {len(d['coeffs'])} models (cached)", flush=True)
+        return d["coeffs"], d["labels"]
+    paths = _synth.make_data_files()
+    mk = SEDmaker(filters=_synth.FILTERS, nnfile=paths["nn"],
+                  mistfile=paths["tracks"], verbose=False)
+    mini = np.linspace(0.5, 2.0, 240)
+    eep = np.arange(202.0, 601.0, 1.25)       # 320 pts
+    feh = np.linspace(-1.0, 0.5, 10)
+    t0 = time.time()
+    mk.make_grid(mini_grid=mini, eep_grid=eep, feh_grid=feh,
+                 smf_grid=[0.0], verbose=False)
+    coeffs = np.stack([mk.grid_sed[n] for n in mk.filters], axis=1)
+    labels = mk.grid_label
+    ok = np.isfinite(coeffs).all(axis=(1, 2))
+    print(f"grid: {ok.sum()}/{len(coeffs)} finite models "
+          f"in {time.time()-t0:.1f} s", flush=True)
+    coeffs, labels = np.ascontiguousarray(coeffs[ok]), labels[ok]
+    np.savez(cache, coeffs=coeffs, labels=labels)
+    return coeffs, labels
+
+
+def main():
+    n_star = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    import jax
+    import jax.numpy as jnp
+    from brutus_tpu.config import FitConfig
+    from brutus_tpu.ops.pallas_loglike import (
+        loglike_grid_fused, loglike_grid_screened, prepare_coeffs,
+        prepare_screen, _select_blocks)
+
+    mc, labels = build_grid()
+    M = len(mc)
+    cat = _synth.synth_catalog(mc, n_star=n_star, seed=11, snr=40.0)
+    flux = jnp.asarray(cat["flux"], jnp.float32)
+    err = jnp.asarray(cat["err"], jnp.float32)
+    mask = jnp.asarray(cat["mask"])
+    plx = jnp.asarray(cat["parallax"], jnp.float32)
+    plxe = jnp.asarray(cat["parallax_err"], jnp.float32)
+
+    cfg = FitConfig()
+    tile = 512
+
+    # Dense reference: full two-phase fit of every model (cached: the
+    # tunnel backend has slow phases where one dense pass exceeds the
+    # driver's command timeout).
+    ct, n_real = prepare_coeffs(mc, tile=tile)
+    chunks = []
+    for lo in range(0, n_star, 16):
+        cpath = os.path.join(_synth.workdir(),
+                             f"recall_dense_{n_star}_{lo}.npz")
+        if os.path.exists(cpath):
+            chunks.append(np.load(cpath)["lnl"])
+            print(f"dense chunk {lo}: cached", flush=True)
+            continue
+        t0 = time.time()
+        sl = slice(lo, lo + 16)
+        dense = loglike_grid_fused(flux[sl], err[sl], mask[sl], ct,
+                                   cfg=cfg, tile=tile, n_real=n_real)
+        c = np.stack([np.asarray(dense["lnlike"], np.float32)[:, :n_real],
+                      np.asarray(dense["scale"], np.float32)[:, :n_real]])
+        np.savez(cpath, lnl=c)
+        chunks.append(c)
+        print(f"dense chunk {lo}: {time.time()-t0:.1f} s", flush=True)
+    both = np.concatenate(chunks, axis=1).astype(np.float64)
+    lnl, dscale = both[0], both[1]
+    # The funnel screens on likelihood + parallax (the same ranking
+    # the posterior culls use); the recall yardstick must too, or the
+    # comparison penalizes the screen for correctly rejecting models
+    # at incompatible distances.
+    lnl = lnl - 0.5 * ((np.sqrt(np.maximum(dscale, 1e-30))
+                        - np.asarray(cat["parallax"])[:, None]) ** 2
+                       / np.asarray(cat["parallax_err"])[:, None] ** 2)
+
+    # Posterior-mass weights after the reference's cull #1
+    # (wt_thresh=1e-3 relative likelihood).
+    lmax = lnl.max(axis=1, keepdims=True)
+    w = np.exp(np.clip(lnl - lmax, -745, 0.0))
+    w[w < 1e-3] = 0.0
+    wsum = w.sum(axis=1)
+    n_surv = (w > 0).sum(axis=1)
+    print(f"survivors/star: med={np.median(n_surv):.0f} "
+          f"max={n_surv.max()}", flush=True)
+
+    # Screening scores once (independent of screen_k / block).
+    scache = os.path.join(_synth.workdir(), f"recall_score_{n_star}.npz")
+    if os.path.exists(scache):
+        score = np.load(scache)["score"]
+        print("screen scores: cached", flush=True)
+    else:
+        st, packed, names, n_real2, maskrow = prepare_screen(
+            mc, aux=dict(lnprior=np.zeros(M, np.float32)), tile=tile)
+        score = loglike_grid_screened(
+            flux, err, mask, st, packed, maskrow, n_real2,
+            parallax=plx, parallax_err=plxe, cfg=cfg, tile=tile,
+            stop_after="screen")
+        score = np.asarray(score)[:n_star]
+        np.savez(scache, score=score)
+    Mp = score.shape[1]
+
+    # Block selection swept in NUMPY on the fetched scores (the device
+    # _select_blocks math, re-done on host): a jit per (nb, block)
+    # combo would cost ~30 s of remote compile each.
+    results = []
+    for block in (64, 128, 256, 512):
+        Mb = Mp // block
+        bscore = score[:, :Mb * block].reshape(n_star, Mb, block).max(-1)
+        order = np.argsort(-bscore, axis=1)
+        for screen_k in (2048, 4096, 8192, 16384, 32768):
+            nb = max(1, min(screen_k // block, Mb))
+            bidx = order[:, :nb]
+            idx = (bidx[:, :, None] * block
+                   + np.arange(block)[None, None, :]).reshape(n_star, -1)
+            rec = np.zeros(n_star)
+            for b in range(n_star):
+                sel = idx[b][idx[b] < n_real]
+                rec[b] = w[b, sel].sum() / wsum[b]
+            hit = np.mean([cat["idx"][b] in idx[b]
+                           for b in range(n_star)])
+            results.append(dict(screen_k=int(nb * block),
+                                block=int(block),
+                                recall_min=float(rec.min()),
+                                recall_mean=float(rec.mean()),
+                                recall_p10=float(np.percentile(rec, 10)),
+                                true_model_on_list=float(hit)))
+            print(results[-1], flush=True)
+
+    out = dict(n_models=int(n_real), n_star=n_star,
+               label_order="mini-major (SEDmaker make_grid order)",
+               survivors_median=float(np.median(n_surv)),
+               survivors_max=int(n_surv.max()),
+               results=results)
+    with open(os.path.join(os.path.dirname(__file__), "..",
+                           "RECALL.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote RECALL.json")
+
+
+if __name__ == "__main__":
+    main()
