@@ -69,23 +69,59 @@ def _hist2d(x, y, ax=None, span=None, weights=None, levels=None,
 def cornerplot(samples, labels=None, weights=None, span=None,
                quantiles=(0.16, 0.5, 0.84), truths=None, fig=None,
                color="black", smooth=0.02, bins=50,
-               show_titles=True, title_fmt=".2f", **kwargs):
+               show_titles=True, title_fmt=".2f", title_quantiles=None,
+               hist_kwargs=None, hist2d_kwargs=None,
+               truth_color="crimson", truth_kwargs=None,
+               label_kwargs=None, title_kwargs=None,
+               max_n_ticks=5, top_ticks=False, verbose=False,
+               **kwargs):
     """Corner plot of posterior samples.
 
     Parity: reference `brutus/plotting.py:38-520` (`cornerplot`),
     generalized to any `(ndim, nsamps)` sample array — the reference's
     usage passes stellar labels + derived dist/Av/Rv per star.
+
+    Per-panel styling (reference kwargs): `span` entries may be
+    `(lo, hi)` bounds OR a float fraction `q` (the central `q`-mass
+    interval, e.g. `0.95`); `quantiles` draws dashed lines on the
+    diagonal; `title_quantiles` (default = `quantiles`) feeds the
+    `show_titles` summaries; `hist_kwargs` / `hist2d_kwargs` pass
+    through to the diagonal histogram / off-diagonal `_hist2d`;
+    `truth_color` + `truth_kwargs` style the truth lines;
+    `label_kwargs` / `title_kwargs` style axis labels / titles;
+    `max_n_ticks` / `top_ticks` control tick placement; `verbose`
+    prints the title quantiles per parameter.
     """
+    from matplotlib.ticker import MaxNLocator
+
     samples = np.atleast_2d(np.asarray(samples))
     if samples.shape[0] > samples.shape[1]:
         samples = samples.T
     ndim, nsamps = samples.shape
     if labels is None:
         labels = [f"x{i}" for i in range(ndim)]
+    hist_kwargs = dict(hist_kwargs or {})
+    hist2d_kwargs = dict(hist2d_kwargs or {})
+    truth_kwargs = {"lw": 1.5, **(truth_kwargs or {})}
+    label_kwargs = dict(label_kwargs or {})
+    title_kwargs = {"fontsize": 9, **(title_kwargs or {})}
+    if title_quantiles is None:
+        title_quantiles = (quantiles if quantiles
+                           and len(quantiles) == 3 else (0.16, 0.5, 0.84))
+    # Span entries: missing -> 0.999 mass; float q -> central q mass;
+    # else explicit (lo, hi)  (reference plotting.py:214-230).
     if span is None:
-        span = [[_quantile(s, [0.001, 0.999], weights)[i]
-                 for i in (0, 1)] for s in samples]
-        span = [[lo, hi if hi > lo else lo + 1e-10] for lo, hi in span]
+        span = [0.999] * ndim
+    span = list(span)
+    for i, s in enumerate(span):
+        if s is None:
+            s = 0.999
+        if np.ndim(s) == 0:
+            q = 0.5 * (1.0 - float(s))
+            lo, hi = _quantile(samples[i], [q, 1.0 - q], weights)
+            span[i] = [lo, hi if hi > lo else lo + 1e-10]
+        else:
+            span[i] = [s[0], s[1]]
 
     if fig is None:
         fig, axes = plt.subplots(ndim, ndim,
@@ -100,37 +136,54 @@ def cornerplot(samples, labels=None, weights=None, span=None,
             if j > i:
                 ax.axis("off")
                 continue
+            if max_n_ticks:
+                ax.xaxis.set_major_locator(
+                    MaxNLocator(max_n_ticks, prune="lower"))
             if i == j:
                 h, edges = np.histogram(samples[i], bins=bins,
                                         range=span[i], weights=weights)
-                ax.stairs(h, edges, color=color, fill=False)
+                ax.stairs(h, edges, color=hist_kwargs.pop("color", color),
+                          **{k: v for k, v in hist_kwargs.items()
+                             if k != "color"})
                 if quantiles:
                     for q in _quantile(samples[i], quantiles, weights):
                         ax.axvline(q, ls="--", color=color, lw=1)
                 if truths is not None and truths[i] is not None:
-                    ax.axvline(truths[i], color="crimson", lw=1.5)
+                    ax.axvline(truths[i], color=truth_color,
+                               **truth_kwargs)
+                qlo, qmid, qhi = _quantile(samples[i], title_quantiles,
+                                           weights)
+                if verbose:
+                    print(f"{labels[i]}: {qmid:{title_fmt}} "
+                          f"+{qhi - qmid:{title_fmt}} "
+                          f"-{qmid - qlo:{title_fmt}}")
                 if show_titles:
-                    lo, mid, hi = _quantile(samples[i],
-                                            [0.16, 0.5, 0.84], weights)
-                    ax.set_title(f"{labels[i]} = {mid:{title_fmt}}"
-                                 f"$^{{+{hi - mid:{title_fmt}}}}"
-                                 f"_{{-{mid - lo:{title_fmt}}}}$",
-                                 fontsize=9)
+                    ax.set_title(f"{labels[i]} = {qmid:{title_fmt}}"
+                                 f"$^{{+{qhi - qmid:{title_fmt}}}}"
+                                 f"_{{-{qmid - qlo:{title_fmt}}}}$",
+                                 **title_kwargs)
                 ax.set_yticks([])
                 ax.set_xlim(span[i])
+                if top_ticks:
+                    ax.xaxis.set_ticks_position("top")
             else:
+                h2 = dict(kwargs)
+                h2.update(hist2d_kwargs)
                 _hist2d(samples[j], samples[i], ax=ax,
                         span=[span[j], span[i]], weights=weights,
-                        smooth=smooth, bins=bins, color=color, **kwargs)
+                        smooth=smooth, bins=bins,
+                        color=h2.pop("color", color), **h2)
                 if truths is not None:
                     if truths[j] is not None:
-                        ax.axvline(truths[j], color="crimson", lw=1.5)
+                        ax.axvline(truths[j], color=truth_color,
+                                   **truth_kwargs)
                     if truths[i] is not None:
-                        ax.axhline(truths[i], color="crimson", lw=1.5)
+                        ax.axhline(truths[i], color=truth_color,
+                                   **truth_kwargs)
             if i == ndim - 1:
-                ax.set_xlabel(labels[j])
+                ax.set_xlabel(labels[j], **label_kwargs)
             if j == 0 and i > 0:
-                ax.set_ylabel(labels[i])
+                ax.set_ylabel(labels[i], **label_kwargs)
     fig.tight_layout()
     return fig, axes
 

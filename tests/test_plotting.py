@@ -22,6 +22,33 @@ def test_cornerplot():
     plt.close(fig)
 
 
+def test_cornerplot_panel_options(capsys):
+    """Reference per-panel styling kwargs (plotting.py:38-520):
+    fractional spans, hist/hist2d kwargs, truth styling, tick control,
+    verbose quantile printing, custom title quantiles."""
+    samples = np.stack([rng.normal(0, 1, 2000),
+                        rng.normal(5, 2, 2000)])
+    fig, axes = plotting.cornerplot(
+        samples, labels=["a", "b"], span=[0.95, (0.0, 12.0)],
+        weights=np.ones(2000), truths=[0.0, None],
+        truth_color="navy", truth_kwargs=dict(lw=2.0, ls=":"),
+        hist_kwargs=dict(color="teal", lw=2.0),
+        hist2d_kwargs=dict(plot_density=False),
+        label_kwargs=dict(fontsize=11), title_kwargs=dict(fontsize=7),
+        title_quantiles=(0.05, 0.5, 0.95), title_fmt=".3f",
+        max_n_ticks=3, top_ticks=True, verbose=True)
+    assert axes.shape == (2, 2)
+    # Fractional span: panel limits match the central-95% interval.
+    lo, hi = np.percentile(samples[0], [2.5, 97.5])
+    xlo, xhi = axes[0, 0].get_xlim()
+    assert abs(xlo - lo) < 0.2 and abs(xhi - hi) < 0.2
+    # Explicit span honored exactly.
+    assert axes[1, 1].get_xlim() == (0.0, 12.0)
+    out = capsys.readouterr().out
+    assert "a: " in out and "b: " in out   # verbose quantiles printed
+    plt.close(fig)
+
+
 def test_hist2d():
     fig, ax = plt.subplots()
     plotting._hist2d(rng.normal(size=3000), rng.normal(size=3000), ax=ax)
