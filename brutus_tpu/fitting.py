@@ -184,8 +184,14 @@ def _screened_step(fit_cfg, post_cfg, gal_cfg, dust_cfg, apply_av_prior,
         from jax import shard_map
     except ImportError:            # older jax
         from jax.experimental.shard_map import shard_map
+    import inspect
+    _sm_params = inspect.signature(shard_map).parameters
+    # jax >= 0.9 renamed check_rep -> check_vma.
+    _sm_kw = {("check_vma" if "check_vma" in _sm_params
+               else "check_rep"): False}
     from jax.sharding import PartitionSpec as P
-    cspec = P(None, None, "model")
+    # Screen table is (9, n_g, 32, Mp): model axis LAST.
+    cspec = P(None, None, None, "model")
     mspec = P(None, "model")
     d = P("data")
     r = P()
@@ -202,7 +208,7 @@ def _screened_step(fit_cfg, post_cfg, gal_cfg, dust_cfg, apply_av_prior,
                                None, None, None, None)
             ins = (cspec, mspec, mspec, d, d, d, d, d, d, d)
         return jax.jit(shard_map(body, mesh=mesh, in_specs=ins,
-                                 out_specs=d, check_rep=False))
+                                 out_specs=d, **_sm_kw))
 
     cache = {}
 
@@ -559,7 +565,8 @@ class BruteForce:
              maskrow) = prepare_screen(self.models, aux=aux, tile=tile,
                                        n_shards=model_ax)
             ct_s = jax.device_put(
-                coeffs_t, NamedSharding(mesh, P(None, None, "model")))
+                coeffs_t,
+                NamedSharding(mesh, P(None, None, None, "model")))
             pk_s = jax.device_put(
                 packed, NamedSharding(mesh, P(None, "model")))
             mr_s = jax.device_put(

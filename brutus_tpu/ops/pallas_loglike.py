@@ -272,13 +272,32 @@ def _make_kernel(cfg: FitConfig, per_star=False):
 # ~8-16 to ~±4, cutting the b0 = C0 - mag0^T.w cancellation noise ~3x.
 SCREEN_MAG_CENTER = 12.0
 N_SCREEN_ROWS = 9    # r0, dr, m0, r0^2, r0*dr, dr^2, m0*r0, m0*dr, m0^2
-SCREEN_FP = 8        # contraction width (F padded; f32 sublane quantum)
+SCREEN_FP = 8        # filter-group width (one K-packed dot per group)
+SCREEN_KP = 96       # packed contraction width: 3 splits x (24+8 pad) rows
+
+
+def _split3(x):
+    """3-way bf16 split: `x == h + m + l` to full f32 precision.
+
+    Each bf16 part carries 8 mantissa bits, so the three parts
+    reproduce all 24 f32 mantissa bits, and every bf16*bf16 partial
+    product (<=16 mantissa bits) is EXACT in the MXU's f32
+    accumulator — a single-pass bf16 matmul over the split operands
+    therefore reproduces the true-f32 contraction (the bf16x9
+    decomposition; one strict superset of `Precision.HIGHEST`'s
+    bf16x6 terms).
+    """
+    h = x.astype(jnp.bfloat16)
+    r = x - h.astype(x.dtype)
+    m = r.astype(jnp.bfloat16)
+    l = (r - m.astype(x.dtype)).astype(jnp.bfloat16)
+    return h, m, l
 
 
 @lru_cache(maxsize=32)
-def _make_screen_kernel(cfg: FitConfig):
+def _make_screen_kernel(cfg: FitConfig, n_g, sblock):
     """Cheap magnitude-space screening pass over the full grid — MXU
-    formulation.
+    formulation, v3.
 
     Scores, per (star, model), the chi2 of the clamped direct 3x3
     weighted least-squares solution of `(mu-offset, Av, Av*Rv)` plus
@@ -286,22 +305,26 @@ def _make_screen_kernel(cfg: FitConfig):
     reference's init-threshold cull ranks on
     (`brutus/fitting.py:743-768`).  Every bilinear term of the normal
     equations and of the chi2 quadratic-form expansion is a
-    `(B, F) @ (F, T)` contraction, so the heavy lifting runs as 12
-    f32 matmuls on the MXU (the v2 kernel did the same ~30
-    GFLOP/batch as elementwise VPU work and was the single largest
-    pipeline stage at 16 ms/batch); only the ~80-flop 3x3-solve
-    epilogue per (star, model) stays on the VPU.
+    `(B, F) @ (F, T)` contraction over the ~8 filters, and the kernel
+    emits only the per-`sblock` score MAXIMA `(B, T // sblock)` — the
+    only thing block selection consumes — instead of the raw `(B, M)`
+    score plane (~770 MB/batch of HBM write+read at M=750k, B=128).
 
-    The matmuls MUST run at `Precision.HIGHEST` (true-f32 products;
-    storing the tables as f32 is NOT enough — the MXU truncates f32
-    operands to bf16 at default precision): `rss0 = q0 - 2 Cm + Q2`
-    cancels three sums of magnitude ~ SNR^2 x mag^2 x F (~7e5 at
-    SNR 40) down to the ~1-10 residual chi2, so bf16's 2^-8 relative
-    noise on `Cm`/`Q2` injects +-O(1e3) chi2 noise — measured to
-    scramble the shortlist completely on a correlated 750k-model
-    SEDmaker grid (posterior recall 0.07; HIGHEST restores ~1.0 — see
-    RECALL.json), while staying invisible on random uncorrelated
-    benchmark grids whose score separations are ~1e3 nats.
+    Precision: `rss0 = q0 - 2 Cm + Q2` cancels sums of magnitude
+    ~ SNR^2 x mag^2 x F (~7e5 at SNR 40) down to the ~1-10 residual
+    chi2, so the contractions need true-f32 products (default-precision
+    bf16 operand noise injects +-O(1e3) chi2 noise — measured to
+    scramble the shortlist on a correlated 750k-model SEDmaker grid,
+    posterior recall 0.07; see RECALL.json).  v2 used
+    `Precision.HIGHEST` (bf16x6: SIX MXU passes per product, each with
+    the K=8 contraction padded to the 128-deep systolic array — 16x
+    depth waste x 6 passes made the screen the largest pipeline stage
+    at 17.7 ms/batch).  v3 instead packs a manual 3-way bf16 split of
+    BOTH operands along K (`_split3`; all 9 split cross-products are
+    exact in the f32 accumulator, a strict superset of bf16x6), so one
+    SINGLE-PASS bf16 matmul with K=96 <= 128 reproduces the true-f32
+    contraction — the systolic-depth padding that v2 wasted now absorbs
+    the entire decomposition for free.
     """
     avm, av_sig = cfg.av_gauss
     rvm, _ = cfg.rv_gauss
@@ -311,41 +334,34 @@ def _make_screen_kernel(cfg: FitConfig):
 
     def kernel(wb_ref, mwb_ref, srow_ref, maskrow_ref, tab_ref,
                score_ref):
-        # wb/mwb: (B, FP) f32 weights / centered-mag-weighted data;
-        # srow: (B, 8) f32 per-star scalars; tab: (9, FP, T) f32
-        # per-model rows; score: (B, T) f32.
-        w = wb_ref[:]
-        mw = mwb_ref[:]
-        # Precision.HIGHEST is ESSENTIAL: on the TPU MXU an f32
-        # matmul at default precision truncates the operands to bf16
-        # (one pass), and the rss0/chi2 expansion below cancels
-        # ~7e5-magnitude sums down to O(1), so bf16's 2^-8 operand
-        # noise injects +-O(1e3) chi2 noise — measured to scramble the
-        # funnel shortlist completely on a correlated 750k-model grid
-        # (posterior recall 0.07 at screen_k=8192) while staying
-        # invisible on random benchmark grids with ~1e3-nat
-        # separations.  HIGHEST runs the full bf16x6 decomposition
-        # (true-f32 products, f32 accumulation; measured ~8% of
-        # full-fit throughput vs the broken bf16 screen).
-        # Precision.HIGH (bf16x3) crashes the Mosaic lowering here —
-        # do not "optimize" this back down without re-running
-        # scratch/recall_curve.py end to end.
-        dot = lambda a, b: jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
-        A01 = dot(w, tab_ref[0])       # sum w r0
-        A02 = dot(w, tab_ref[1])       # sum w dr
-        Bm0 = dot(w, tab_ref[2])       # sum w m0
-        A11 = dot(w, tab_ref[3])       # sum w r0^2
-        A12 = dot(w, tab_ref[4])       # sum w r0 dr
-        A22 = dot(w, tab_ref[5])       # sum w dr^2
-        Bm1 = dot(w, tab_ref[6])       # sum w m0 r0
-        Bm2 = dot(w, tab_ref[7])       # sum w m0 dr
-        Q2 = dot(w, tab_ref[8])        # sum w m0^2
-        C1 = dot(mw, tab_ref[0])       # sum w m r0
-        C2 = dot(mw, tab_ref[1])       # sum w m dr
-        Cm = dot(mw, tab_ref[2])       # sum w m m0
+        # wb/mwb: (n_g, B, 96) bf16 packed weight / centered-mag-
+        # weighted splits ([h h h h | m m m m | l l l l] blocks of 8);
+        # srow: (B, 8) f32 per-star scalars; tab: (9, n_g, 32, T) bf16
+        # per-model row splits ([h; m; l; 0] x 8 filters per group);
+        # score: (B, T // sblock) f32 block maxima.
+        def contract(lhs_ref, p):
+            acc = None
+            for g in range(n_g):
+                t32 = tab_ref[p, g]                       # (32, T)
+                rhs = jnp.concatenate([t32, t32, t32], axis=0)
+                d = jax.lax.dot_general(
+                    lhs_ref[g], rhs, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = d if acc is None else acc + d
+            return acc
+
+        A01 = contract(wb_ref, 0)      # sum w r0
+        A02 = contract(wb_ref, 1)      # sum w dr
+        Bm0 = contract(wb_ref, 2)      # sum w m0
+        A11 = contract(wb_ref, 3)      # sum w r0^2
+        A12 = contract(wb_ref, 4)      # sum w r0 dr
+        A22 = contract(wb_ref, 5)      # sum w dr^2
+        Bm1 = contract(wb_ref, 6)      # sum w m0 r0
+        Bm2 = contract(wb_ref, 7)      # sum w m0 dr
+        Q2 = contract(wb_ref, 8)       # sum w m0^2
+        C1 = contract(mwb_ref, 0)      # sum w m r0
+        C2 = contract(mwb_ref, 1)      # sum w m dr
+        Cm = contract(mwb_ref, 2)      # sum w m m0
 
         a00 = jnp.maximum(srow_ref[:, 0:1], 1e-30)   # (B, 1)
         C0 = srow_ref[:, 1:2]          # sum w m
@@ -394,46 +410,71 @@ def _make_screen_kernel(cfg: FitConfig):
         par = jnp.exp(-0.2 * LN10 * u)
         chi2 = chi2 + (par - plx) ** 2 * plxw
         # maskrow kills the tile-padding models (-1e30 on padded
-        # lanes).
-        score_ref[:] = -0.5 * chi2 + maskrow_ref[:, :]
+        # lanes); emit only the per-sblock maxima (all that block
+        # selection reads) — the raw (B, M) score plane never leaves
+        # VMEM.  The output carries the tile index as a LEADING axis
+        # ((num_tiles, B, tile//sblock)) because a (B, tile//sblock)
+        # lane-minor block would violate the 128-lane block quantum.
+        score = -0.5 * chi2 + maskrow_ref[:, :]
+        Bk, T = score.shape
+        score_ref[0] = jnp.max(score.reshape(Bk, T // sblock, sblock),
+                               axis=-1)
 
     return kernel
 
 
 @lru_cache(maxsize=32)
-def _make_screen_call(cfg, B, M, tile, fp, dtype, interpret):
+def _make_screen_call(cfg, B, M, tile, n_g, dtype, interpret, sblock):
     """`B` is the screen-padded star count (multiple of 8: the star
-    matrices put stars in sublanes); `fp` the padded filter count."""
+    matrices put stars in sublanes); `n_g` the number of 8-filter
+    contraction groups; `sblock` the score-block width of the emitted
+    maxima."""
     num_tiles = M // tile
-    star_spec = pl.BlockSpec((B, fp), lambda t: (0, 0),
+    star_spec = pl.BlockSpec((n_g, B, SCREEN_KP), lambda t: (0, 0, 0),
                              memory_space=pltpu.VMEM)
     srow_spec = pl.BlockSpec((B, 8), lambda t: (0, 0),
                              memory_space=pltpu.VMEM)
     mask_spec = pl.BlockSpec((1, tile), lambda t: (0, t),
                              memory_space=pltpu.VMEM)
-    tab_spec = pl.BlockSpec((N_SCREEN_ROWS, fp, tile),
-                            lambda t: (0, 0, t),
+    tab_spec = pl.BlockSpec((N_SCREEN_ROWS, n_g, 32, tile),
+                            lambda t: (0, 0, 0, t),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((B, tile), lambda t: (0, t),
+    out_spec = pl.BlockSpec((1, B, tile // sblock), lambda t: (t, 0, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _make_screen_kernel(cfg),
+        _make_screen_kernel(cfg, n_g, sblock),
         grid=(num_tiles,),
         in_specs=[star_spec, star_spec, srow_spec, mask_spec, tab_spec],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((B, M), dtype),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, B, tile // sblock),
+                                       dtype),
         interpret=interpret,
     )
+
+
+def _pack_splits(x, n_g):
+    """`(Bs, n_g*8) f32 -> (n_g, Bs, 96) bf16` K-packed split blocks
+    `[h h h h | m m m m | l l l l]` (see `_make_screen_kernel`: the
+    rhs `[h; m; l; 0]`-per-8-filter stacking pairs each lhs block of 8
+    with the right split so all 9 cross-products accumulate)."""
+    Bs = x.shape[0]
+    h, m, l = _split3(x)
+    g = lambda s: s.reshape(Bs, n_g, 8)
+    h, m, l = g(h), g(m), g(l)
+    packed = jnp.concatenate([h, h, h, h, m, m, m, m, l, l, l, l],
+                             axis=-1)                  # (Bs, n_g, 96)
+    return jnp.swapaxes(packed, 0, 1)
 
 
 @partial(jax.jit, static_argnames=("n_pad", "fp"))
 def _screen_star_mats(mags, wt_mag, plx, plxw, n_pad, fp):
     """Star-side inputs for the MXU screening kernel.
 
-    Returns `(wb, mwb, srow)`: f32 `(Bs, FP)` weight and
-    centered-mag-weighted matrices plus the f32 `(Bs, 8)` per-star
-    scalar rows `[a00, C0, q0, plx, plxw, 0, 0, 0]`.  `Bs = B + n_pad`
-    pads stars to the sublane quantum.
+    Returns `(wb, mwb, srow)`: bf16 `(n_g, Bs, 96)` K-packed 3-way
+    split weight and centered-mag-weighted matrices (`_pack_splits`)
+    plus the f32 `(Bs, 8)` per-star scalar rows
+    `[a00, C0, q0, plx, plxw, 0, 0, 0]`.  `Bs = B + n_pad` pads stars
+    to the sublane quantum.
     """
     B, F = mags.shape
     mc = (mags - SCREEN_MAG_CENTER) * jnp.sign(wt_mag)  # 0 where wt==0
@@ -448,7 +489,8 @@ def _screen_star_mats(mags, wt_mag, plx, plxw, n_pad, fp):
     wb = jnp.pad(wt_mag, ((0, n_pad), (0, pad_f))).astype(jnp.float32)
     mwb = jnp.pad(mcw, ((0, n_pad), (0, pad_f))).astype(jnp.float32)
     srow = jnp.pad(srow, ((0, n_pad), (0, 0)))
-    return wb, mwb, srow
+    n_g = fp // 8
+    return _pack_splits(wb, n_g), _pack_splits(mwb, n_g), srow
 
 
 def prepare_coeffs(mag_coeffs, tile=2048):
@@ -629,9 +671,10 @@ def prepare_screen(mag_coeffs, aux=None, tile=512, n_shards=1):
     Returns
     -------
     (screen_tab, packed, aux_names, n_real, maskrow): the
-    `(9, FP, Mp)` f32 MXU screening table (per-model rows
+    `(9, n_g, 32, Mp)` bf16 MXU screening table (per-model rows
     `r0, dr, m0, r0^2, r0*dr, dr^2, m0*r0, m0*dr, m0^2` with centered
-    magnitudes, F zero-padded to the sublane quantum), the
+    magnitudes, each 8-filter group stored as the stacked 3-way bf16
+    split `[h; m; l; 0]` — see `_make_screen_kernel`), the
     COLUMN-MAJOR `(3F + n_aux, Mp)` slab-gather table (row `k*F + f`
     holds coefficient `k` of filter `f`, so gathered slabs land
     directly in the stage-2 kernel's `(3, F, B, P)` layout with a free
@@ -639,6 +682,7 @@ def prepare_screen(mag_coeffs, aux=None, tile=512, n_shards=1):
     `(1, Mp)` screening mask row (`-1e30` on tile padding).
     """
     import numpy as np
+    import ml_dtypes
     coeffs_t, n_real = prepare_coeffs(mag_coeffs, tile * n_shards)
     Mp = coeffs_t.shape[-1]
     mc = np.asarray(mag_coeffs, np.float32)
@@ -649,11 +693,23 @@ def prepare_screen(mag_coeffs, aux=None, tile=512, n_shards=1):
     ct = np.asarray(coeffs_t)                      # (3, F, Mp) f32
     m0 = ct[0] - SCREEN_MAG_CENTER
     r0, dr = ct[1], ct[2]
-    fp = -(-F // SCREEN_FP) * SCREEN_FP
-    tab = np.zeros((N_SCREEN_ROWS, fp, Mp), np.float32)
+    n_g = -(-F // SCREEN_FP)
+    fp = n_g * SCREEN_FP
+    bf16 = ml_dtypes.bfloat16
+    tab = np.zeros((N_SCREEN_ROWS, n_g, 32, Mp), bf16)
     for i, row in enumerate([r0, dr, m0, r0 * r0, r0 * dr, dr * dr,
                              m0 * r0, m0 * dr, m0 * m0]):
-        tab[i, :F] = row
+        rp = np.zeros((fp, Mp), np.float32)
+        rp[:F] = row
+        h = rp.astype(bf16)
+        rem = rp - h.astype(np.float32)
+        mm = rem.astype(bf16)
+        ll = (rem - mm.astype(np.float32)).astype(bf16)
+        for g in range(n_g):
+            sl = slice(g * SCREEN_FP, (g + 1) * SCREEN_FP)
+            tab[i, g, 0:8] = h[sl]
+            tab[i, g, 8:16] = mm[sl]
+            tab[i, g, 16:24] = ll[sl]
     screen_tab = jnp.asarray(tab)
     rows = [np.ascontiguousarray(mc.transpose(2, 1, 0)).reshape(3 * F, M)]
     names = []
@@ -678,8 +734,10 @@ def prepare_screen(mag_coeffs, aux=None, tile=512, n_shards=1):
 
 
 @partial(jax.jit, static_argnames=("nb", "block"))
-def _select_blocks(score, nb, block):
-    """Per-star top-`nb` score blocks of `block` models each.
+def _select_blocks(bscore, nb, block):
+    """Per-star top-`nb` score blocks of `block` models each
+    (`bscore` is the `(B, Mp // block)` per-block score maxima the
+    screening kernel emits).
 
     Block-level selection (max score per block) instead of exact
     model-level top-k: XLA's general gather runs at ~1 us per slice on
@@ -690,8 +748,7 @@ def _select_blocks(score, nb, block):
     high-likelihood models cluster into contiguous bands anyway, so
     block selection *improves* effective recall at fixed P.
     """
-    B, Mp = score.shape
-    bscore = jnp.max(score.reshape(B, Mp // block, block), axis=-1)
+    B = bscore.shape[0]
     _, bidx = lax.top_k(bscore, nb)
     bidx = bidx.astype(jnp.int32)
     idx = (bidx[:, :, None] * block
@@ -700,10 +757,10 @@ def _select_blocks(score, nb, block):
     return bidx, idx
 
 
-def _select_blocks_sharded(score, nb, block, model_axis, n_shards):
+def _select_blocks_sharded(bscore, nb, block, model_axis, n_shards):
     """Cross-shard top-`nb` block selection for the model-sharded
-    funnel (called inside `shard_map`; `score` is the LOCAL
-    `(B, M_local)` screening scores).
+    funnel (called inside `shard_map`; `bscore` is the LOCAL
+    `(B, M_local // block)` per-block screening score maxima).
 
     Each shard ranks its own blocks, the per-shard candidates are
     `all_gather`ed over the `model` mesh axis (`n_shards * nb` block
@@ -713,12 +770,10 @@ def _select_blocks_sharded(score, nb, block, model_axis, n_shards):
     `mine` marks the blocks this shard owns (for the local slab
     gather + psum merge).
     """
-    B, Ml = score.shape
-    nb_l = min(nb, Ml // block)
-    bscore = jnp.max(score.reshape(B, Ml // block, block), axis=-1)
+    B, nblocks_l = bscore.shape
+    nb_l = min(nb, nblocks_l)
     bsc, bix = lax.top_k(bscore, nb_l)
     s_idx = lax.axis_index(model_axis)
-    nblocks_l = Ml // block
     bix_g = bix.astype(jnp.int32) + s_idx * nblocks_l
     # (B, n_shards * nb_l) candidate union, identical on every shard.
     cand_sc = lax.all_gather(bsc, model_axis, axis=1, tiled=True)
@@ -891,24 +946,27 @@ def loglike_grid_screened(flux, fluxerr, mask, screen_tab, packed,
     grp = lambda x: x.reshape(Bp // GROUP, GROUP, F).swapaxes(1, 2)
     # MXU screening: stars in sublanes (padded to the sublane quantum).
     Bs = -(-Bp // 8) * 8
-    fp = screen_tab.shape[1]
+    n_g = screen_tab.shape[1]
+    fp = n_g * SCREEN_FP
     wb, mwb, srow = _screen_star_mats(mags, wt_mag, plx[:, None],
                                       plxw[:, None], Bs - Bp, fp)
-    screen = _make_screen_call(cfg, Bs, M, tile, fp, "float32",
-                               interpret)
-    score = screen(wb, mwb, srow, maskrow, screen_tab)
+    screen = _make_screen_call(cfg, Bs, M, tile, n_g, "float32",
+                               interpret, block)
+    # (num_tiles, Bs, tile//block) -> (Bs, M//block) block maxima.
+    bscore = screen(wb, mwb, srow, maskrow, screen_tab)
+    bscore = jnp.swapaxes(bscore, 0, 1).reshape(Bs, M // block)
     if Bs != Bp:
-        score = score[:Bp]
+        bscore = bscore[:Bp]
     if stop_after == "screen":     # bench --breakdown probe
-        return score
+        return bscore
 
     if model_axis is None:
-        bidx, idx = _select_blocks(score, nb, block)
+        bidx, idx = _select_blocks(bscore, nb, block)
         gather = _make_gather_call(packed.shape[0], M, Bp, nb, block,
                                    interpret)
         slabs = gather(bidx, packed)
     else:
-        bidx, idx, mine = _select_blocks_sharded(score, nb, block,
+        bidx, idx, mine = _select_blocks_sharded(bscore, nb, block,
                                                  model_axis,
                                                  n_model_shards)
         # Gather locally (clamped ids for non-owned slots), zero the
