@@ -190,8 +190,9 @@ def _screened_step(fit_cfg, post_cfg, gal_cfg, dust_cfg, apply_av_prior,
     _sm_kw = {("check_vma" if "check_vma" in _sm_params
                else "check_rep"): False}
     from jax.sharding import PartitionSpec as P
-    # Screen table is (9, n_g, 32, Mp): model axis LAST.
-    cspec = P(None, None, None, "model")
+    # Screen tables are the PAIR ((n_g, 48, 6*Mp), (n_g, 96, 3*Mp)):
+    # model-tile columns LAST on both.
+    cspec = (P(None, None, "model"), P(None, None, "model"))
     mspec = P(None, "model")
     d = P("data")
     r = P()
@@ -476,13 +477,17 @@ class BruteForce:
         apply_av_prior = (dustmap is not None) and (av_gauss is None)
         if apply_av_prior:
             from .dustmap import uniform_profile
+            from .ops.pallas_mc import NL_PAD
             dust_dist, dust_mean, dust_std = dustmap.query(
                 (data_coords[:, 0], data_coords[:, 1]))
             # Uniform-in-distance ladder: the device-side dust prior
             # interpolates by direct index arithmetic (no searchsorted).
+            # n MUST NOT exceed the MC kernel's NL_PAD table size —
+            # longer ladders were silently truncated (zero hat weights
+            # beyond rung 128 -> flat dust prior for distant stars).
             dust_dist, dust_mean, dust_std = uniform_profile(
                 dust_dist, np.atleast_2d(dust_mean),
-                np.atleast_2d(dust_std))
+                np.atleast_2d(dust_std), n=NL_PAD)
             dust_dist = jnp.asarray(dust_dist)
         else:
             dust_dist = dust_mean = dust_std = None
@@ -565,8 +570,7 @@ class BruteForce:
              maskrow) = prepare_screen(self.models, aux=aux, tile=tile,
                                        n_shards=model_ax)
             ct_s = jax.device_put(
-                coeffs_t,
-                NamedSharding(mesh, P(None, None, None, "model")))
+                coeffs_t, NamedSharding(mesh, P(None, None, "model")))
             pk_s = jax.device_put(
                 packed, NamedSharding(mesh, P(None, "model")))
             mr_s = jax.device_put(

@@ -271,9 +271,10 @@ def _make_kernel(cfg: FitConfig, per_star=False):
 # accumulated from bf16 products, and centering shrinks |mag0| from
 # ~8-16 to ~±4, cutting the b0 = C0 - mag0^T.w cancellation noise ~3x.
 SCREEN_MAG_CENTER = 12.0
-N_SCREEN_ROWS = 9    # r0, dr, m0, r0^2, r0*dr, dr^2, m0*r0, m0*dr, m0^2
 SCREEN_FP = 8        # filter-group width (one K-packed dot per group)
-SCREEN_KP = 96       # packed contraction width: 3 splits x (24+8 pad) rows
+SCREEN_KP = 48       # packed contraction width: 6 split cross-terms x 8
+N_SCREEN_W = 6       # w-dot terms: r0, dr, m0, r0^2, r0*dr, dr^2
+N_SCREEN_C = 3       # [mw|w]-dot terms: rss0 part, b1 part, b2 part
 
 
 def _split3(x):
@@ -282,10 +283,11 @@ def _split3(x):
     Each bf16 part carries 8 mantissa bits, so the three parts
     reproduce all 24 f32 mantissa bits, and every bf16*bf16 partial
     product (<=16 mantissa bits) is EXACT in the MXU's f32
-    accumulator — a single-pass bf16 matmul over the split operands
-    therefore reproduces the true-f32 contraction (the bf16x9
-    decomposition; one strict superset of `Precision.HIGHEST`'s
-    bf16x6 terms).
+    accumulator — a bf16 matmul over K-stacked split pairs therefore
+    reproduces the true-f32 contraction.  The kernel packs the SIX
+    dominant cross-terms `hh, hm, hl, mh, mm, lh` (`Precision.
+    HIGHEST`'s exact bf16x6 set; the dropped `ml, lm, ll` terms are
+    <= 2^-32 relative, below the f32 rounding of the result).
     """
     h = x.astype(jnp.bfloat16)
     r = x - h.astype(x.dtype)
@@ -320,11 +322,21 @@ def _make_screen_kernel(cfg: FitConfig, n_g, sblock):
     the K=8 contraction padded to the 128-deep systolic array — 16x
     depth waste x 6 passes made the screen the largest pipeline stage
     at 17.7 ms/batch).  v3 instead packs a manual 3-way bf16 split of
-    BOTH operands along K (`_split3`; all 9 split cross-products are
-    exact in the f32 accumulator, a strict superset of bf16x6), so one
-    SINGLE-PASS bf16 matmul with K=96 <= 128 reproduces the true-f32
-    contraction — the systolic-depth padding that v2 wasted now absorbs
-    the entire decomposition for free.
+    BOTH operands along K (`_split3`; the six bf16x6 cross-terms are
+    each exact in the f32 accumulator), so one SINGLE-PASS bf16
+    matmul with K=48 <= 128 reproduces HIGHEST's result — the
+    systolic-depth padding that v2 wasted now absorbs the entire
+    decomposition for free.
+
+    Column budget (v4): the MXU streams ~one output column per cycle
+    and B=128 stars already fill the systolic rows, so wall time is
+    set by TOTAL OUTPUT COLUMNS = (#terms) x M — measured invariant
+    to tile width, K-depth, and even mostly to B.  Two cuts: (1) the
+    three data-side sums fold their `C - Bm` pairs into single
+    contractions with the lhs `[mw | w]` stacked along K (12 -> 9
+    terms); (2) all terms of a kind issue as ONE wide matmul over
+    column-concatenated tables ((B,48)@(48,6T) + (B,96)@(96,3T) per
+    tile instead of 12 narrow dots), amortizing MXU fill/dispatch.
     """
     avm, av_sig = cfg.av_gauss
     rvm, _ = cfg.rv_gauss
@@ -332,36 +344,38 @@ def _make_screen_kernel(cfg: FitConfig, n_g, sblock):
     avmin, avmax = cfg.avlim
     rvmin, rvmax = cfg.rvlim
 
-    def kernel(wb_ref, mwb_ref, srow_ref, maskrow_ref, tab_ref,
-               score_ref):
-        # wb/mwb: (n_g, B, 96) bf16 packed weight / centered-mag-
-        # weighted splits ([h h h h | m m m m | l l l l] blocks of 8);
-        # srow: (B, 8) f32 per-star scalars; tab: (9, n_g, 32, T) bf16
-        # per-model row splits ([h; m; l; 0] x 8 filters per group);
-        # score: (B, T // sblock) f32 block maxima.
-        def contract(lhs_ref, p):
+    def kernel(wb_ref, cb_ref, srow_ref, maskrow_ref, tabw_ref,
+               tabc_ref, score_ref):
+        # wb: (n_g, B, 48) bf16 packed weight splits ([h h h m m l]
+        # blocks of 8); cb: (n_g, B, 96) = [mw-splits | w-splits];
+        # srow: (B, 8) f32 per-star scalars; tabw: (n_g, 48, 6T) bf16
+        # per-model row splits ([h; m; l; h; m; h] per group —
+        # positional pairing with the lhs gives exactly the bf16x6
+        # cross-terms hh, hm, hl, mh, mm, lh) with the 6 w-terms
+        # column-concatenated per tile; tabc: (n_g, 96, 3T), rows
+        # [mw-side splits; w-side splits] for the 3 folded data sums;
+        # score: per-sblock maxima.
+        def contract(lhs_ref, tref):
             acc = None
             for g in range(n_g):
-                t32 = tab_ref[p, g]                       # (32, T)
-                rhs = jnp.concatenate([t32, t32, t32], axis=0)
                 d = jax.lax.dot_general(
-                    lhs_ref[g], rhs, (((1,), (0,)), ((), ())),
+                    lhs_ref[g], tref[g], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 acc = d if acc is None else acc + d
             return acc
 
-        A01 = contract(wb_ref, 0)      # sum w r0
-        A02 = contract(wb_ref, 1)      # sum w dr
-        Bm0 = contract(wb_ref, 2)      # sum w m0
-        A11 = contract(wb_ref, 3)      # sum w r0^2
-        A12 = contract(wb_ref, 4)      # sum w r0 dr
-        A22 = contract(wb_ref, 5)      # sum w dr^2
-        Bm1 = contract(wb_ref, 6)      # sum w m0 r0
-        Bm2 = contract(wb_ref, 7)      # sum w m0 dr
-        Q2 = contract(wb_ref, 8)       # sum w m0^2
-        C1 = contract(mwb_ref, 0)      # sum w m r0
-        C2 = contract(mwb_ref, 1)      # sum w m dr
-        Cm = contract(mwb_ref, 2)      # sum w m m0
+        outw = contract(wb_ref, tabw_ref)      # (B, 6T)
+        outc = contract(cb_ref, tabc_ref)      # (B, 3T)
+        T = outw.shape[1] // N_SCREEN_W
+        A01 = outw[:, 0 * T:1 * T]     # sum w r0
+        A02 = outw[:, 1 * T:2 * T]     # sum w dr
+        Bm0 = outw[:, 2 * T:3 * T]     # sum w m0
+        A11 = outw[:, 3 * T:4 * T]     # sum w r0^2
+        A12 = outw[:, 4 * T:5 * T]     # sum w r0 dr
+        A22 = outw[:, 5 * T:6 * T]     # sum w dr^2
+        RS = outc[:, 0 * T:1 * T]      # sum w (-2 m m0 + m0^2)
+        b1r = outc[:, 1 * T:2 * T]     # sum w (m - m0) r0
+        b2 = outc[:, 2 * T:3 * T]      # sum w (m - m0) dr
 
         a00 = jnp.maximum(srow_ref[:, 0:1], 1e-30)   # (B, 1)
         C0 = srow_ref[:, 1:2]          # sum w m
@@ -372,8 +386,6 @@ def _make_screen_kernel(cfg: FitConfig, n_g, sblock):
         # Normal equations carry the Av Gaussian prior; the chi2
         # expansion below uses the RAW sums (explicit residuals).
         b0 = C0 - Bm0                  # sum w resid0
-        b1r = C1 - Bm1                 # sum w resid0 r0
-        b2 = C2 - Bm2                  # sum w resid0 dr
         b1 = b1r + avm * avvi
         a11 = A11 + avvi
         det = (a00 * (a11 * A22 - A12 * A12)
@@ -398,7 +410,7 @@ def _make_screen_kernel(cfg: FitConfig, n_g, sblock):
         # the explicit-residual chi2:
         #   r = resid0 - u - av r0 - avrv dr;  chi2 = sum w r^2.
         u = (b0 - av * A01 - avrv * A02) / a00
-        rss0 = q0 - 2.0 * Cm + Q2      # sum w resid0^2
+        rss0 = q0 + RS                 # sum w resid0^2
         chi2 = (rss0 + u * u * a00 + av * av * A11 + avrv * avrv * A22
                 - 2.0 * (u * b0 + av * b1r + avrv * b2)
                 + 2.0 * (u * av * A01 + u * avrv * A02
@@ -430,39 +442,52 @@ def _make_screen_call(cfg, B, M, tile, n_g, dtype, interpret, sblock):
     contraction groups; `sblock` the score-block width of the emitted
     maxima."""
     num_tiles = M // tile
-    star_spec = pl.BlockSpec((n_g, B, SCREEN_KP), lambda t: (0, 0, 0),
-                             memory_space=pltpu.VMEM)
+    starw_spec = pl.BlockSpec((n_g, B, SCREEN_KP), lambda t: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    starc_spec = pl.BlockSpec((n_g, B, 2 * SCREEN_KP),
+                              lambda t: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
     srow_spec = pl.BlockSpec((B, 8), lambda t: (0, 0),
                              memory_space=pltpu.VMEM)
     mask_spec = pl.BlockSpec((1, tile), lambda t: (0, t),
                              memory_space=pltpu.VMEM)
-    tab_spec = pl.BlockSpec((N_SCREEN_ROWS, n_g, 32, tile),
-                            lambda t: (0, 0, 0, t),
-                            memory_space=pltpu.VMEM)
+    tabw_spec = pl.BlockSpec((n_g, SCREEN_KP, N_SCREEN_W * tile),
+                             lambda t: (0, 0, t),
+                             memory_space=pltpu.VMEM)
+    tabc_spec = pl.BlockSpec((n_g, 2 * SCREEN_KP, N_SCREEN_C * tile),
+                             lambda t: (0, 0, t),
+                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, B, tile // sblock), lambda t: (t, 0, 0),
                             memory_space=pltpu.VMEM)
+    # Wide tiles (>= 1024) overflow the 16 MB default scoped-VMEM
+    # budget with the (B, tile)-sized f32 contraction outputs.
+    params = {} if interpret else dict(
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024))
     return pl.pallas_call(
         _make_screen_kernel(cfg, n_g, sblock),
         grid=(num_tiles,),
-        in_specs=[star_spec, star_spec, srow_spec, mask_spec, tab_spec],
+        in_specs=[starw_spec, starc_spec, srow_spec, mask_spec,
+                  tabw_spec, tabc_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles, B, tile // sblock),
                                        dtype),
         interpret=interpret,
+        **params,
     )
 
 
 def _pack_splits(x, n_g):
-    """`(Bs, n_g*8) f32 -> (n_g, Bs, 96) bf16` K-packed split blocks
-    `[h h h h | m m m m | l l l l]` (see `_make_screen_kernel`: the
-    rhs `[h; m; l; 0]`-per-8-filter stacking pairs each lhs block of 8
-    with the right split so all 9 cross-products accumulate)."""
+    """`(Bs, n_g*8) f32 -> (n_g, Bs, 48) bf16` K-packed split blocks
+    `[h h h m m l]` (see `_make_screen_kernel`: positional pairing
+    with the rhs `[h; m; l; h; m; h]`-per-group stacking accumulates
+    the six bf16x6 cross-products)."""
     Bs = x.shape[0]
     h, m, l = _split3(x)
     g = lambda s: s.reshape(Bs, n_g, 8)
     h, m, l = g(h), g(m), g(l)
-    packed = jnp.concatenate([h, h, h, h, m, m, m, m, l, l, l, l],
-                             axis=-1)                  # (Bs, n_g, 96)
+    packed = jnp.concatenate([h, h, h, m, m, l],
+                             axis=-1)                  # (Bs, n_g, 48)
     return jnp.swapaxes(packed, 0, 1)
 
 
@@ -470,11 +495,11 @@ def _pack_splits(x, n_g):
 def _screen_star_mats(mags, wt_mag, plx, plxw, n_pad, fp):
     """Star-side inputs for the MXU screening kernel.
 
-    Returns `(wb, mwb, srow)`: bf16 `(n_g, Bs, 96)` K-packed 3-way
-    split weight and centered-mag-weighted matrices (`_pack_splits`)
-    plus the f32 `(Bs, 8)` per-star scalar rows
-    `[a00, C0, q0, plx, plxw, 0, 0, 0]`.  `Bs = B + n_pad` pads stars
-    to the sublane quantum.
+    Returns `(wb, cb, srow)`: bf16 `(n_g, Bs, 48)` K-packed 3-way
+    split weight matrix, the `(n_g, Bs, 96)` `[mw-splits | w-splits]`
+    stack for the folded data-sum dot (`_pack_splits`), plus the f32
+    `(Bs, 8)` per-star scalar rows `[a00, C0, q0, plx, plxw, 0, 0, 0]`.
+    `Bs = B + n_pad` pads stars to the sublane quantum.
     """
     B, F = mags.shape
     mc = (mags - SCREEN_MAG_CENTER) * jnp.sign(wt_mag)  # 0 where wt==0
@@ -490,7 +515,9 @@ def _screen_star_mats(mags, wt_mag, plx, plxw, n_pad, fp):
     mwb = jnp.pad(mcw, ((0, n_pad), (0, pad_f))).astype(jnp.float32)
     srow = jnp.pad(srow, ((0, n_pad), (0, 0)))
     n_g = fp // 8
-    return _pack_splits(wb, n_g), _pack_splits(mwb, n_g), srow
+    wbp = _pack_splits(wb, n_g)
+    cb = jnp.concatenate([_pack_splits(mwb, n_g), wbp], axis=-1)
+    return wbp, cb, srow
 
 
 def prepare_coeffs(mag_coeffs, tile=2048):
@@ -670,15 +697,20 @@ def prepare_screen(mag_coeffs, aux=None, tile=512, n_shards=1):
 
     Returns
     -------
-    (screen_tab, packed, aux_names, n_real, maskrow): the
-    `(9, n_g, 32, Mp)` bf16 MXU screening table (per-model rows
-    `r0, dr, m0, r0^2, r0*dr, dr^2, m0*r0, m0*dr, m0^2` with centered
-    magnitudes, each 8-filter group stored as the stacked 3-way bf16
-    split `[h; m; l; 0]` — see `_make_screen_kernel`), the
+    (screen_tab, packed, aux_names, n_real, maskrow): `screen_tab` is
+    the PAIR `(tab_w, tab_c)` of bf16 MXU screening tables —
+    `tab_w (n_g, 48, 6*Mp)` holds the six weight-contracted rows
+    `r0, dr, m0, r0^2, r0*dr, dr^2` (centered magnitudes) and
+    `tab_c (n_g, 96, 3*Mp)` the three folded data-sum rows
+    `(-2 m0; m0^2), (r0; -m0 r0), (dr; -m0 dr)` against the
+    `[mw | w]` star stack; each 8-filter group is stored as the 3-way
+    bf16 split stack `[h; m; l; h; m; h]` and each tile's terms are
+    column-concatenated so the kernel issues ONE wide matmul per
+    (tile, lhs) — see `_make_screen_kernel`.  `packed` is the
     COLUMN-MAJOR `(3F + n_aux, Mp)` slab-gather table (row `k*F + f`
     holds coefficient `k` of filter `f`, so gathered slabs land
     directly in the stage-2 kernel's `(3, F, B, P)` layout with a free
-    reshape), the aux row order, the real model count, and the
+    reshape); then the aux row order, the real model count, and the
     `(1, Mp)` screening mask row (`-1e30` on tile padding).
     """
     import numpy as np
@@ -688,7 +720,7 @@ def prepare_screen(mag_coeffs, aux=None, tile=512, n_shards=1):
     mc = np.asarray(mag_coeffs, np.float32)
     M, F, _ = mc.shape
 
-    # MXU screening table from the PADDED grid (padding models carry
+    # MXU screening tables from the PADDED grid (padding models carry
     # +60 mag; the maskrow kills them regardless).
     ct = np.asarray(coeffs_t)                      # (3, F, Mp) f32
     m0 = ct[0] - SCREEN_MAG_CENTER
@@ -696,21 +728,41 @@ def prepare_screen(mag_coeffs, aux=None, tile=512, n_shards=1):
     n_g = -(-F // SCREEN_FP)
     fp = n_g * SCREEN_FP
     bf16 = ml_dtypes.bfloat16
-    tab = np.zeros((N_SCREEN_ROWS, n_g, 32, Mp), bf16)
-    for i, row in enumerate([r0, dr, m0, r0 * r0, r0 * dr, dr * dr,
-                             m0 * r0, m0 * dr, m0 * m0]):
+    nt = Mp // tile
+
+    def split48(row):
+        """(F, Mp) f32 -> (n_g, 48, Mp) bf16 `[h; m; l; h; m; h]`
+        split stack (pairs with the lhs `[h h h m m l]` blocks to
+        accumulate exactly the bf16x6 cross-terms)."""
         rp = np.zeros((fp, Mp), np.float32)
         rp[:F] = row
         h = rp.astype(bf16)
         rem = rp - h.astype(np.float32)
         mm = rem.astype(bf16)
         ll = (rem - mm.astype(np.float32)).astype(bf16)
+        out = np.empty((n_g, SCREEN_KP, Mp), bf16)
         for g in range(n_g):
             sl = slice(g * SCREEN_FP, (g + 1) * SCREEN_FP)
-            tab[i, g, 0:8] = h[sl]
-            tab[i, g, 8:16] = mm[sl]
-            tab[i, g, 16:24] = ll[sl]
-    screen_tab = jnp.asarray(tab)
+            for j, part in enumerate((h, mm, ll, h, mm, h)):
+                out[g, 8 * j:8 * (j + 1)] = part[sl]
+        return out
+
+    def tile_cat(splits):
+        """list of (n_g, R, Mp) -> (n_g, R, n_terms*Mp) with each
+        tile's terms column-concatenated (term-major inside a tile),
+        matching the kernel's static output slices."""
+        s = np.stack(splits, axis=2)               # (n_g, R, nterm, Mp)
+        ng_, R, nterm, _ = s.shape
+        s = s.reshape(ng_, R, nterm, nt, tile).swapaxes(2, 3)
+        return np.ascontiguousarray(s.reshape(ng_, R, nterm * Mp))
+
+    tab_w = tile_cat([split48(x) for x in
+                      (r0, dr, m0, r0 * r0, r0 * dr, dr * dr)])
+    catc = lambda a, b: np.concatenate([split48(a), split48(b)], axis=1)
+    tab_c = tile_cat([catc(-2.0 * m0, m0 * m0),
+                      catc(r0, -m0 * r0),
+                      catc(dr, -m0 * dr)])
+    screen_tab = (jnp.asarray(tab_w), jnp.asarray(tab_c))
     rows = [np.ascontiguousarray(mc.transpose(2, 1, 0)).reshape(3 * F, M)]
     names = []
     if aux:
@@ -900,8 +952,9 @@ def loglike_grid_screened(flux, fluxerr, mask, screen_tab, packed,
     requirement for grids beyond per-chip HBM.
     """
     B, F = flux.shape
-    M = screen_tab.shape[-1]
-    dtype = jnp.float32        # screen_tab is bf16; compute stays f32
+    tab_w, tab_c = screen_tab
+    M = tab_w.shape[-1] // N_SCREEN_W
+    dtype = jnp.float32        # screen tables are bf16; compute is f32
     flux = flux.astype(dtype)
     fluxerr = fluxerr.astype(dtype)
     if interpret is None:
@@ -946,14 +999,14 @@ def loglike_grid_screened(flux, fluxerr, mask, screen_tab, packed,
     grp = lambda x: x.reshape(Bp // GROUP, GROUP, F).swapaxes(1, 2)
     # MXU screening: stars in sublanes (padded to the sublane quantum).
     Bs = -(-Bp // 8) * 8
-    n_g = screen_tab.shape[1]
+    n_g = tab_w.shape[0]
     fp = n_g * SCREEN_FP
-    wb, mwb, srow = _screen_star_mats(mags, wt_mag, plx[:, None],
-                                      plxw[:, None], Bs - Bp, fp)
+    wb, cb, srow = _screen_star_mats(mags, wt_mag, plx[:, None],
+                                     plxw[:, None], Bs - Bp, fp)
     screen = _make_screen_call(cfg, Bs, M, tile, n_g, "float32",
                                interpret, block)
     # (num_tiles, Bs, tile//block) -> (Bs, M//block) block maxima.
-    bscore = screen(wb, mwb, srow, maskrow, screen_tab)
+    bscore = screen(wb, cb, srow, maskrow, tab_w, tab_c)
     bscore = jnp.swapaxes(bscore, 0, 1).reshape(Bs, M // block)
     if Bs != Bp:
         bscore = bscore[:Bp]

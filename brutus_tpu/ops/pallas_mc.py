@@ -114,7 +114,42 @@ def _make_mc_kernel(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
 
     def kernel(*refs):
         if kernel_rng:
-            (seed_ref, tab_ref, scal_ref, dust_ref,
+            (flag_ref, seed_ref, tab_ref, scal_ref, dust_ref,
+             lnmc_ref, dist_ref, red_ref, dred_ref, agg_ref) = refs
+        else:
+            (flag_ref, tab_ref, scal_ref, dust_ref, z_ref,
+             lnmc_ref, dist_ref, red_ref, dred_ref, agg_ref) = refs
+        b = pl.program_id(0)
+        t_id = pl.program_id(1)
+        # Tile-skip: `top_k` sorts the selection best-first, so culled
+        # (NEG_BIG) models form a SUFFIX of the K axis and whole model
+        # tiles are typically dead (realistic grids keep ~750 of 4096
+        # selected models past the culls).  Skipped tiles write flag
+        # constants instead of integrating 50 draws x T models; exact
+        # semantics because an invalid model can never be resampled
+        # (the all-invalid fallback star keeps every tile active —
+        # see `mc_integrate`).
+        active = flag_ref[b, t_id] > 0
+
+        @pl.when(jnp.logical_not(active))
+        def _skipped():
+            shp = lnmc_ref.shape[1:]
+            dt = lnmc_ref.dtype
+            lnmc_ref[0] = jnp.full(shp, NEG_BIG, dt)
+            dist_ref[0] = jnp.ones(shp, dt)
+            red_ref[0] = jnp.zeros(shp, dt)
+            dred_ref[0] = jnp.zeros(shp, dt)
+            agg_ref[0] = jnp.concatenate(
+                [jnp.full((1, shp[1]), NEG_BIG, dt),
+                 jnp.zeros((7, shp[1]), dt)], axis=0)
+
+        @pl.when(active)
+        def _active():
+            _body(*refs)
+
+    def _body(*refs):
+        if kernel_rng:
+            (flag_ref, seed_ref, tab_ref, scal_ref, dust_ref,
              lnmc_ref, dist_ref, red_ref, dred_ref, agg_ref) = refs
             b = pl.program_id(0)
             # Distinct stream per (star, model tile); Mosaic's
@@ -123,7 +158,7 @@ def _make_mc_kernel(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
             pltpu.prng_seed(seed_ref[b, 0],
                             seed_ref[b, 1] + pl.program_id(1))
         else:
-            (tab_ref, scal_ref, dust_ref, z_ref,
+            (flag_ref, tab_ref, scal_ref, dust_ref, z_ref,
              lnmc_ref, dist_ref, red_ref, dred_ref, agg_ref) = refs
         tab = tab_ref[0]                       # (16, T)
         row = lambda i: tab[i:i + 1, :]        # (1, T)
@@ -328,36 +363,29 @@ def _make_mc_call(cfg, gal_cfg, dust_cfg, n_mc, nmc_pad, use_feh,
     params = {} if interpret else dict(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=48 * 1024 * 1024))
-    if kernel_rng:
-        # (B, 2) int32 seeds ride as scalar prefetch (SMEM).
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(B, num_tiles),
-            in_specs=in_specs,
-            out_specs=out_specs,
-        )
-        return pl.pallas_call(kern, grid_spec=grid_spec,
-                              out_shape=out_shape, interpret=interpret,
-                              **params)
-    in_specs.append(
-        pl.BlockSpec((1, 3, nmc_pad, tile), lambda b, t, *_: (b, 0, 0, t),
-                     memory_space=pltpu.VMEM))
-    return pl.pallas_call(
-        kern,
+    if not kernel_rng:
+        in_specs.append(
+            pl.BlockSpec((1, 3, nmc_pad, tile),
+                         lambda b, t, *_: (b, 0, 0, t),
+                         memory_space=pltpu.VMEM))
+    # Scalar prefetch (SMEM): (B, num_tiles) int32 tile-active flags,
+    # plus the (B, 2) int32 PRNG seeds in kernel_rng mode.
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2 if kernel_rng else 1,
         grid=(B, num_tiles),
         in_specs=in_specs,
         out_specs=out_specs,
-        out_shape=out_shape,
-        interpret=interpret,
-        **params,
     )
+    return pl.pallas_call(kern, grid_spec=grid_spec,
+                          out_shape=out_shape, interpret=interpret,
+                          **params)
 
 
 def mc_integrate(tab, scal, dusttab, n_mc, nmc_pad,
                  cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
                  dust_cfg: DustPriorConfig, use_feh, use_loga, use_dust,
                  use_gal=True, tile=256, interpret=None, z=None,
-                 seeds=None):
+                 seeds=None, valid=None):
     """Run the fused MC-integration kernel (eager dispatch).
 
     Parameters
@@ -369,6 +397,12 @@ def mc_integrate(tab, scal, dusttab, n_mc, nmc_pad,
         `seeds` (B, 2) int32 to generate draws in-kernel (Box-Muller
         from the hardware PRNG; TPU only — interpret mode lacks
         `prng_seed`).
+    valid : optional (B, K) bool validity of each selected model
+        (post-cull).  Model tiles with no valid model skip the whole
+        integration (see the kernel's tile-skip) — culled models'
+        outputs are never consumed, EXCEPT for all-invalid stars whose
+        chi2-fallback resampling reads every model: those stars keep
+        all tiles active.
 
     Returns
     -------
@@ -387,9 +421,15 @@ def mc_integrate(tab, scal, dusttab, n_mc, nmc_pad,
                          bool(use_feh), bool(use_loga), bool(use_dust),
                          bool(use_gal), B, K, t, str(tab.dtype),
                          interpret, kernel_rng)
+    if valid is None:
+        flags = jnp.ones((B, K // t), jnp.int32)
+    else:
+        tile_any = jnp.any(valid.reshape(B, K // t, t), axis=-1)
+        star_dead = ~jnp.any(valid, axis=1)
+        flags = (tile_any | star_dead[:, None]).astype(jnp.int32)
     if kernel_rng:
-        return call(seeds, tab, scal, dusttab)
-    return call(tab, scal, dusttab, z)
+        return call(flags, seeds, tab, scal, dusttab)
+    return call(flags, tab, scal, dusttab, z)
 
 
 __all__ = ["mc_integrate", "N_TAB_ROWS", "N_SCALARS", "NL_PAD"]

@@ -519,6 +519,11 @@ def _batch_fns(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
 
         if use_dust:
             nl = av_mean.shape[0]
+            if nl > NL_PAD:
+                raise ValueError(
+                    f"dust ladder has {nl} rungs > NL_PAD={NL_PAD}; "
+                    f"resample with dustmap.uniform_profile(n={NL_PAD}) "
+                    f"(longer ladders would be silently truncated)")
             covered = jnp.all(jnp.isfinite(av_mean)
                               & jnp.isfinite(av_std)).astype(dtype)
             safe_mean = jnp.where(jnp.isfinite(av_mean), av_mean,
@@ -723,7 +728,8 @@ def lnpost_batch(keys, results, lnprior_grid, coord,
         cfg.n_mc_prior, nmcp, cfg, gal_cfg, dust_cfg,
         use_feh=has_feh, use_loga=has_loga,
         use_dust=has_dust and apply_av_prior, tile=tile,
-        interpret=interpret, z=sel["z"], seeds=sel["seeds"])
+        interpret=interpret, z=sel["z"], seeds=sel["seeds"],
+        valid=sel["valid"])
     if stop_after == "mc":         # bench --breakdown probe
         return (sel, lnmc, dist_k, red_k, dred_k, agg)
     return post_v(sel, lnmc, dist_k, red_k, dred_k, agg, gidx_a)

@@ -111,3 +111,23 @@ def test_lnpost_batch_uncovered_dust_and_jit():
 
     out = jax.jit(wrapped)(keys, res, aux["lnprior"], gidx, plx, plxe)
     _compare(ref, out)
+
+
+def test_overlong_dust_ladder_rejected():
+    """Ladders beyond the kernel's NL_PAD table were silently
+    truncated (zero hat weights past rung 128 => flat dust prior for
+    distant stars); now they raise, and `BruteForce` resamples real
+    profiles to n=NL_PAD (`fitting.py` uniform_profile call)."""
+    from brutus_tpu.ops.pallas_mc import NL_PAD
+    res, gidx, aux, plx, plxe, keys = _setup()
+    pcfg = PosteriorConfig(n_mc_prior=8, n_draws=16, n_sel_max=128,
+                           prefilter_k=128)
+    n = NL_PAD * 2
+    long_dust = (jnp.linspace(0.05, 10.0, n, dtype=jnp.float32),
+                 jnp.linspace(0.0, 1.5, n, dtype=jnp.float32),
+                 jnp.full(n, 0.2, jnp.float32))
+    with pytest.raises(ValueError, match="NL_PAD"):
+        lnpost_batch(keys, res, aux["lnprior"], COORD,
+                     parallax=plx, parallax_err=plxe,
+                     dust_profile=long_dust, global_idx=gidx,
+                     cfg=pcfg, interpret=True)
