@@ -37,15 +37,26 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..config import PosteriorConfig, GalPriorConfig, DustPriorConfig
 from ..coords import _M, _T
+from ..utils import psd_repair_parts, cholesky3_parts
 
 NEG_BIG = -1e30
 LOG_SQRT_2PI = 0.5 * math.log(2.0 * math.pi)
 
-# Table row layout (matches `posterior._mc_pre`).
+# Table row layout (matches `posterior._batch_fns.pre`).  Rows 3-8
+# carry the PRECISION parts (s_den, a_den, r_den, sa, sr, ar); the
+# covariance repair + Cholesky runs IN-KERNEL (`utils.psd_repair_parts`
+# / `cholesky3_parts` — the same functions the XLA path uses, so the
+# two paths stay bit-identical in interpret mode), which (a) removes
+# the (B, K, 3, 3) inverse/repair/Cholesky chains from the select
+# stage and (b) lets the tile-skip below skip that work for culled
+# tiles too.  The repaired covariance parts come back through the
+# spare aggregate rows (AGG_COV) for the resampled `cov_sar` output.
 ROW_MEAN_S, ROW_MEAN_A, ROW_MEAN_R = 0, 1, 2
-ROW_L00, ROW_L10, ROW_L11, ROW_L20, ROW_L21, ROW_L22 = 3, 4, 5, 6, 7, 8
+ROW_I00, ROW_I11, ROW_I22, ROW_I01, ROW_I02, ROW_I12 = 3, 4, 5, 6, 7, 8
 ROW_FEH, ROW_LOGA = 9, 10
+ROW_VALID = 11
 N_TAB_ROWS = 16
+AGG_COV = 2                         # agg rows 2-7: cov parts
 
 # Per-star scalar layout.
 SC_V0, SC_V1, SC_V2 = 0, 1, 2        # M @ unit(l, b) direction
@@ -167,8 +178,18 @@ def _make_mc_kernel(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
 
         mean_s, mean_a, mean_r = row(ROW_MEAN_S), row(ROW_MEAN_A), \
             row(ROW_MEAN_R)
-        L00, L10, L11 = row(ROW_L00), row(ROW_L10), row(ROW_L11)
-        L20, L21, L22 = row(ROW_L20), row(ROW_L21), row(ROW_L22)
+        # In-kernel covariance: stable inverse + escalating PSD repair
+        # + Cholesky of the (s, Av, Rv) precision parts (reference
+        # brutus/fitting.py:1039-1065 + utils.py:845).  Same functions
+        # as the XLA path (utils parts toolkit) => bit-identical there;
+        # dead tiles skip all of it.
+        icov_p = (row(ROW_I00), row(ROW_I11), row(ROW_I22),
+                  row(ROW_I01), row(ROW_I02), row(ROW_I12))
+        validm = row(ROW_VALID) > 0.5
+        cov_p = psd_repair_parts(icov_p, mean_s, validm, cfg.psd_width,
+                                 cfg.psd_max_passes,
+                                 mvn_eps=cfg.mvn_eps)
+        L00, L10, L11, L20, L21, L22 = cholesky3_parts(cov_p)
 
         v0, v1, v2 = scv(SC_V0), scv(SC_V1), scv(SC_V2)
         pm, pw, pln = scv(SC_PM), scv(SC_PW), scv(SC_PLN)
@@ -330,7 +351,7 @@ def _make_mc_kernel(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
 
         lse = m_acc + jnp.log(jnp.maximum(s_acc, 1e-37))
         agg_ref[0] = jnp.concatenate(
-            [lse, n_acc, jnp.zeros((6, tab.shape[1]), tab.dtype)], axis=0)
+            [lse, n_acc] + [c for c in cov_p], axis=0)
 
     return kernel
 
@@ -408,7 +429,9 @@ def mc_integrate(tab, scal, dusttab, n_mc, nmc_pad,
     -------
     (lnmc, dist, red, dred, agg): `(B, NMC_PAD, K)` draw fields plus
     the `(B, 8, K)` aggregate (row 0 = logsumexp over draws, row 1 =
-    in-bounds count).
+    in-bounds count, rows 2-7 = the repaired covariance parts
+    `c00, c11, c22, c01, c02, c12` computed in-kernel from the
+    precision rows).
     """
     B, _, K = tab.shape
     if interpret is None:

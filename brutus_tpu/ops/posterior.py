@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.scipy.special import logsumexp
 
 from ..config import PosteriorConfig, GalPriorConfig, DustPriorConfig
-from ..utils import inverse3_stable, is_psd3
+from ..utils import (psd_repair_parts, cholesky3_parts, sym3_from_parts)
 from ..priors import (gal_lnprior, dust_lnprior, parallax_lnprior,
                       scale_parallax_lnprior)
 
@@ -93,58 +93,11 @@ def _cull_mask(lnp, wt_thresh, cdf_thresh, base_mask=None):
     return mask
 
 
-def _psd_repair(icov, cov, scale, valid, cfg: PosteriorConfig):
-    """Escalating diagonal-prior repair of non-PSD covariances.
-
-    Parity: reference `brutus/fitting.py:1042-1065`.  Each pass adds
-    `count / width^2` to the diagonal entries flagged non-positive
-    (count doubling per pass; the scale entry uses a fractional width
-    `scale * width`), then re-inverts.
-    """
-    width = cfg.psd_width
-    sfrac = scale * width
-
-    def body(i, carry):
-        icov, cov = carry
-        count = 2.0 ** i
-        not_psd = (~is_psd3(cov)) & valid
-        d1 = cov[:, 0, 0] <= 0
-        d2 = cov[:, 1, 1] <= 0
-        d3 = cov[:, 2, 2] <= 0
-        s1 = d1.astype(cov.dtype) + ((~d2) & (~d3)).astype(cov.dtype)
-        s2 = d2.astype(cov.dtype) + ((~d1) & (~d3)).astype(cov.dtype)
-        s3 = d3.astype(cov.dtype) + ((~d1) & (~d2)).astype(cov.dtype)
-        diag = jnp.stack([count / sfrac ** 2 * s1,
-                          count / width ** 2 * s2,
-                          count / width ** 2 * s3], axis=-1)
-        # eye-broadcast instead of vmap(jnp.diag): the latter lowers to
-        # a per-matrix scatter and dominated the repair's runtime.
-        add = jnp.eye(3, dtype=cov.dtype) * diag[..., None, :]
-        icov = jnp.where(not_psd[:, None, None], icov + add, icov)
-        cov = jnp.where(not_psd[:, None, None], inverse3_stable(icov), cov)
-        return icov, cov
-
-    icov, cov = jax.lax.fori_loop(0, cfg.psd_max_passes, body, (icov, cov))
-
-    # Terminal fallback (the reference's repair loop is unbounded,
-    # fitting.py:1042-1065; our pass count is static): any covariance
-    # still non-PSD after the escalation passes collapses to a positive
-    # diagonal matrix — variances kept where positive, else the repair
-    # prior's own widths.  Applied to EVERY row (not just `valid`):
-    # invalid models can still be resampled by the degenerate-star
-    # fallback, so their Cholesky must never see NaN either.
-    still_bad = ~is_psd3(cov)
-    d0, d1, d2 = cov[:, 0, 0], cov[:, 1, 1], cov[:, 2, 2]
-    w0 = jnp.maximum(sfrac ** 2, 1e-30)
-    f0 = jnp.where((d0 > 0) & jnp.isfinite(d0), d0, w0)
-    f1 = jnp.where((d1 > 0) & jnp.isfinite(d1), d1, width ** 2)
-    f2 = jnp.where((d2 > 0) & jnp.isfinite(d2), d2, width ** 2)
-    diag = jnp.stack([f0, f1, f2], axis=-1)
-    eye = jnp.eye(3, dtype=cov.dtype)
-    bad = still_bad[:, None, None]
-    cov = jnp.where(bad, eye * diag[..., None, :], cov)
-    icov = jnp.where(bad, eye * (1.0 / diag)[..., None, :], icov)
-    return icov, cov
+# The escalating PSD repair (reference `brutus/fitting.py:1042-1065`)
+# lives in `utils.psd_repair_parts` / `utils.cholesky3_parts`, shared
+# verbatim by this module's XLA path and the fused MC kernel (which
+# runs it in-kernel per model tile, skipping culled tiles) so the two
+# paths remain bit-identical in interpret mode.
 
 
 def _select_stage(results, lnprior_grid, coord,
@@ -276,29 +229,26 @@ def _select_stage(results, lnprior_grid, coord,
     scale_k, av_k = take_local(scale), take_local(av)
     # Fields the prior stage never read are gathered here for the first
     # time, by global index — packed into one row gather (see above).
-    from .pallas_loglike import icov_from_parts
+    # The precisions stay as their 6 unique PARTS `(s_den, a_den,
+    # r_den, sa, sr, ar)`: the inverse + PSD repair + Cholesky run
+    # downstream on parts (in the MC kernel on the fused path), never
+    # materializing (K, 3, 3) stacks here.
     if icov_parts is not None:
         packed_k = jnp.stack((rv, chi2) + tuple(icov_parts),
                              axis=-1)[sel_idx]
         rv_k, chi2_k = packed_k[:, 0], packed_k[:, 1]
-        icov_k = icov_from_parts(tuple(packed_k[:, 2 + i]
-                                       for i in range(6)))
+        icov_p = tuple(packed_k[:, 2 + i] for i in range(6))
     else:
         packed_k = jnp.stack([rv, chi2], axis=-1)[sel_idx]
         rv_k, chi2_k = packed_k[:, 0], packed_k[:, 1]
         icov_k = icov[sel_idx]
+        icov_p = (icov_k[:, 0, 0], icov_k[:, 1, 1], icov_k[:, 2, 2],
+                  icov_k[:, 0, 1], icov_k[:, 0, 2], icov_k[:, 1, 2])
     if K == score.shape[0]:
         feh_k, loga_k = feh_s, loga_s    # already gathered by prefilter
     else:
         feh_k = feh[sel_idx] if feh is not None else None
         loga_k = loga[sel_idx] if loga is not None else None
-
-    # --- covariances + PSD repair (fitting.py:1039-1065) ---
-    # Equilibrated inversion: the raw float32 adjugate of these severely
-    # ill-scaled precisions produces sign errors (negative variances)
-    # that would trip the PSD repair on pure noise.
-    cov_k = inverse3_stable(icov_k)
-    icov_k, cov_k = _psd_repair(icov_k, cov_k, scale_k, valid, cfg)
 
     # --- evidence-independent chi2/Ndim bookkeeping (fitting.py:
     # 2024-2030) ---
@@ -316,7 +266,7 @@ def _select_stage(results, lnprior_grid, coord,
                         jnp.min(chi2_fin))
 
     return dict(lnp_sel=lnp_sel, valid=valid, sel_idx=sel_idx,
-                scale_k=scale_k, av_k=av_k, rv_k=rv_k, cov_k=cov_k,
+                scale_k=scale_k, av_k=av_k, rv_k=rv_k, icov_p=icov_p,
                 chi2_k=chi2_k, ndim=ndim_out, chi2min=chi2min,
                 feh_k=feh_k, loga_k=loga_k)
 
@@ -361,10 +311,10 @@ def lnpost_grid(key, results, lnprior_grid, coord,
                         parallax_err, feh, loga, dust_profile,
                         cfg, gal_cfg, dust_cfg, apply_av_prior,
                         lngalprior=lngalprior, lndustprior=lndustprior)
-    (lnp_sel, valid, sel_idx, scale_k, av_k, rv_k, cov_k, chi2_k,
+    (lnp_sel, valid, sel_idx, scale_k, av_k, rv_k, icov_p, chi2_k,
      ndim_out, chi2min, feh_k, loga_k) = (
         sel["lnp_sel"], sel["valid"], sel["sel_idx"], sel["scale_k"],
-        sel["av_k"], sel["rv_k"], sel["cov_k"], sel["chi2_k"],
+        sel["av_k"], sel["rv_k"], sel["icov_p"], sel["chi2_k"],
         sel["ndim"], sel["chi2min"], sel["feh_k"], sel["loga_k"])
     dtype = lnp_sel.dtype
     K = lnp_sel.shape[0]
@@ -372,15 +322,22 @@ def lnpost_grid(key, results, lnprior_grid, coord,
     if dust_profile is not None:
         av_dist, av_mean, av_std = dust_profile
 
+    # --- covariances: stable inverse + PSD repair (fitting.py:
+    # 1039-1065), on parts (see utils.psd_repair_parts) ---
+    cov_p = psd_repair_parts(icov_p, scale_k, valid, cfg.psd_width,
+                             cfg.psd_max_passes, mvn_eps=cfg.mvn_eps)
+    cov_k = sym3_from_parts(cov_p)
+
     # --- MC integration over the (s, Av, Rv) Gaussians
     # (fitting.py:1068-1098) ---
     kmvn, kidx, kmc = jax.random.split(key, 3)
-    mean = jnp.stack([scale_k, av_k, rv_k], axis=-1)          # (K, 3)
-    from ..utils import cholesky3_stable, mvn3_transform
-    L = cholesky3_stable(cov_k + cfg.mvn_eps * jnp.eye(3, dtype=dtype))
+    l00, l10, l11, l20, l21, l22 = cholesky3_parts(cov_p)
     z = jax.random.normal(kmvn, (K, 3, Nmc), dtype=dtype)
-    samps = mvn3_transform(mean, L, z)                        # (K, 3, Nmc)
-    s_mc, a_mc, r_mc = samps[:, 0], samps[:, 1], samps[:, 2]  # (K, Nmc)
+    z0, z1, z2 = z[:, 0], z[:, 1], z[:, 2]                    # (K, Nmc)
+    s_mc = scale_k[:, None] + l00[:, None] * z0
+    a_mc = av_k[:, None] + l10[:, None] * z0 + l11[:, None] * z1
+    r_mc = (rv_k[:, None] + l20[:, None] * z0 + l21[:, None] * z1
+            + l22[:, None] * z2)
 
     # 1e-30 floor, not 1e-300: the latter underflows to 0 in float32,
     # making `dist_mc` inf (matches the fused kernel's clamp).
@@ -455,9 +412,8 @@ def _batch_fns(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
                use_krng=False):
     """Cached jitted pre/post halves of `lnpost_batch` (the MC kernel
     dispatches eagerly in between)."""
-    from .pallas_mc import N_TAB_ROWS, N_SCALARS, NL_PAD
+    from .pallas_mc import N_TAB_ROWS, N_SCALARS, NL_PAD, AGG_COV
     from ..coords import _M
-    from ..utils import cholesky3_stable
 
     nmc = cfg.n_mc_prior
     nmcp = -(-nmc // 8) * 8
@@ -475,8 +431,6 @@ def _batch_fns(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
         K = sel["lnp_sel"].shape[0]
         kmvn, kidx, kmc = jax.random.split(key, 3)
 
-        L = cholesky3_stable(sel["cov_k"]
-                             + cfg.mvn_eps * jnp.eye(3, dtype=dtype))
         if use_krng:
             # Hardware-PRNG path: only a per-star seed leaves the host
             # of this stage.
@@ -493,11 +447,13 @@ def _batch_fns(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
             seeds = None
 
         zero = jnp.zeros((K,), dtype)
-        rows = [sel["scale_k"], sel["av_k"], sel["rv_k"],
-                L[:, 0, 0], L[:, 1, 0], L[:, 1, 1],
-                L[:, 2, 0], L[:, 2, 1], L[:, 2, 2],
-                sel["feh_k"] if has_feh else zero,
-                sel["loga_k"] if has_loga else zero]
+        # Rows 3-8: precision PARTS — the inverse + PSD repair +
+        # Cholesky run inside the MC kernel (skipped for dead tiles).
+        rows = [sel["scale_k"], sel["av_k"], sel["rv_k"]] \
+            + list(sel["icov_p"]) \
+            + [sel["feh_k"] if has_feh else zero,
+               sel["loga_k"] if has_loga else zero,
+               sel["valid"].astype(dtype)]
         rows += [zero] * (N_TAB_ROWS - len(rows))
         tab = jnp.stack(rows, axis=0)                # (16, K)
 
@@ -589,9 +545,14 @@ def _batch_fns(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
               == jnp.arange(K, dtype=jnp.int32)[None, :]).astype(dtype)
         mlev = jnp.concatenate(
             [sel["scale_k"][:, None], sel["av_k"][:, None],
-             sel["rv_k"][:, None], lnp_sel[:, None],
-             sel["cov_k"].reshape(K, 9)], axis=1)   # (K, 13)
-        rows = jnp.matmul(oh, mlev, precision=hi)   # (ndraws, 13)
+             sel["rv_k"][:, None], lnp_sel[:, None]], axis=1)  # (K, 4)
+        rows = jnp.matmul(oh, mlev, precision=hi)   # (ndraws, 4)
+        # Repaired covariance parts come back through the MC kernel's
+        # aggregate rows (AGG_COV..+5: c00, c11, c22, c01, c02, c12).
+        covd = jnp.matmul(agg[AGG_COV:AGG_COV + 6], oh.T,
+                          precision=hi)             # (6, ndraws)
+        cov_sar = sym3_from_parts((covd[0], covd[1], covd[2],
+                                   covd[3], covd[4], covd[5]))
         dm = jnp.concatenate(
             [lnmc[:nmc], dist_k[:nmc], red_k[:nmc], dred_k[:nmc]],
             axis=0)                                 # (4*nmc, K)
@@ -609,7 +570,7 @@ def _batch_fns(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
         return dict(
             model_idx=jnp.round(midx).astype(sel_out.dtype),
             scale=rows[:, 0], av=rows[:, 1],
-            rv=rows[:, 2], cov_sar=rows[:, 4:13].reshape(-1, 3, 3),
+            rv=rows[:, 2], cov_sar=cov_sar,
             lnprob=rows[:, 3],
             dist=pick(nmc), red=pick(2 * nmc), dred=pick(3 * nmc),
             logwt=jnp.sum(lr * ohm, axis=1),

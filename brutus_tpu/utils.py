@@ -227,6 +227,138 @@ def is_psd3(A, eps=0.0):
 
 
 # ---------------------------------------------------------------------------
+# Parts-based symmetric 3x3 toolkit
+#
+# The same operations as the stacked-matrix functions above, but on the
+# SIX unique components `(p00, p11, p22, p01, p02, p12)` as separate
+# arrays of any shape.  Shared by the posterior's host/XLA path and the
+# fused MC Pallas kernel (which carries per-model state as `(1, T)` lane
+# rows and cannot build `(..., 3, 3)` stacks without wasting its lane
+# axis) — a single implementation keeps the two paths bit-identical, so
+# the batch-vs-grid parity tests can assert exact draw indices.
+# ---------------------------------------------------------------------------
+
+def equilibrate3_parts(p):
+    """Parts analogue of `equilibrate3`: returns the equilibrated parts
+    plus the inverse scale factors `(e0, e1, e2)`."""
+    p00, p11, p22, p01, p02, p12 = p
+    e0 = 1.0 / jnp.sqrt(jnp.maximum(jnp.abs(p00), 1e-30))
+    e1 = 1.0 / jnp.sqrt(jnp.maximum(jnp.abs(p11), 1e-30))
+    e2 = 1.0 / jnp.sqrt(jnp.maximum(jnp.abs(p22), 1e-30))
+    bp = (p00 * e0 * e0, p11 * e1 * e1, p22 * e2 * e2,
+          p01 * e0 * e1, p02 * e0 * e2, p12 * e1 * e2)
+    return bp, (e0, e1, e2)
+
+
+def _inv3_sym_raw_parts(p):
+    """Adjugate-over-determinant inverse of a symmetric 3x3 given as
+    parts (the parts analogue of `inverse3`; det via the same
+    mean-of-three identity `det = sum(adj * A) / 3`)."""
+    a, d, f, b, c, e = p           # a=p00 d=p11 f=p22 b=p01 c=p02 e=p12
+    adj00 = d * f - e * e
+    adj01 = e * c - b * f
+    adj02 = b * e - d * c
+    adj11 = f * a - c * c
+    adj12 = c * b - e * a
+    adj22 = a * d - b * b
+    det = (adj00 * a + adj01 * b + adj02 * c
+           + adj01 * b + adj11 * d + adj12 * e
+           + adj02 * c + adj12 * e + adj22 * f) / 3.0
+    return (adj00 / det, adj11 / det, adj22 / det,
+            adj01 / det, adj02 / det, adj12 / det)
+
+
+def inverse3_sym_parts(p):
+    """Float32-stable inverse of symmetric 3x3 parts (equilibrated, as
+    `inverse3_stable`)."""
+    bp, (e0, e1, e2) = equilibrate3_parts(p)
+    i00, i11, i22, i01, i02, i12 = _inv3_sym_raw_parts(bp)
+    return (i00 * e0 * e0, i11 * e1 * e1, i22 * e2 * e2,
+            i01 * e0 * e1, i02 * e0 * e2, i12 * e1 * e2)
+
+
+def is_psd3_parts(p, eps=0.0):
+    """Sylvester PD test on symmetric 3x3 parts (see `is_psd3`)."""
+    (a, e, i, b, c, f), _ = equilibrate3_parts(p)
+    m1 = a
+    m2 = a * e - b * b
+    m3 = a * (e * i - f * f) - b * (b * i - f * c) + c * (b * f - e * c)
+    return (m1 > eps) & (m2 > eps) & (m3 > eps)
+
+
+def cholesky3_parts(p):
+    """Stable Cholesky of symmetric 3x3 parts -> the six lower-triangle
+    entries `(l00, l10, l11, l20, l21, l22)` (see `cholesky3_stable`)."""
+    bp, (e0, e1, e2) = equilibrate3_parts(p)
+    a11, a22, a33, a21, a31, a32 = bp
+    l11 = jnp.sqrt(a11)
+    l21 = a21 / l11
+    l31 = a31 / l11
+    l22 = jnp.sqrt(a22 - l21 * l21)
+    l32 = (a32 - l31 * l21) / l22
+    l33 = jnp.sqrt(a33 - l31 * l31 - l32 * l32)
+    return (l11 / e0, l21 / e1, l22 / e1, l31 / e2, l32 / e2, l33 / e2)
+
+
+def psd_repair_parts(icov_p, scale, valid, width, max_passes,
+                     mvn_eps=0.0):
+    """Escalating diagonal-prior PSD repair on precision PARTS, plus a
+    terminal positive-diagonal fallback — the parts analogue of
+    `ops.posterior._psd_repair` (reference `brutus/fitting.py:
+    1042-1065`).  Returns the repaired COVARIANCE parts (with `mvn_eps`
+    added to the diagonal, ready for `cholesky3_parts`).
+    """
+    sfrac = scale * width
+    cov_p = inverse3_sym_parts(icov_p)
+    one = jnp.ones_like(scale)
+    zero = jnp.zeros_like(scale)
+    for i in range(max_passes):
+        count = 2.0 ** i
+        not_psd = (~is_psd3_parts(cov_p)) & valid
+        d1 = cov_p[0] <= 0
+        d2 = cov_p[1] <= 0
+        d3 = cov_p[2] <= 0
+        s1 = jnp.where(d1, one, zero) + jnp.where((~d2) & (~d3), one,
+                                                  zero)
+        s2 = jnp.where(d2, one, zero) + jnp.where((~d1) & (~d3), one,
+                                                  zero)
+        s3 = jnp.where(d3, one, zero) + jnp.where((~d1) & (~d2), one,
+                                                  zero)
+        add = (count / sfrac ** 2 * s1, count / width ** 2 * s2,
+               count / width ** 2 * s3)
+        icov_p = tuple(
+            jnp.where(not_psd, icov_p[j] + add[j], icov_p[j])
+            for j in range(3)) + icov_p[3:]
+        new_cov = inverse3_sym_parts(icov_p)
+        cov_p = tuple(jnp.where(not_psd, new_cov[j], cov_p[j])
+                      for j in range(6))
+    still_bad = ~is_psd3_parts(cov_p)
+    d0, d1, d2 = cov_p[0], cov_p[1], cov_p[2]
+    w0 = jnp.maximum(sfrac ** 2, 1e-30)
+    f0 = jnp.where((d0 > 0) & jnp.isfinite(d0), d0, w0)
+    f1 = jnp.where((d1 > 0) & jnp.isfinite(d1), d1, width ** 2)
+    f2 = jnp.where((d2 > 0) & jnp.isfinite(d2), d2, width ** 2)
+    cov_p = (jnp.where(still_bad, f0, cov_p[0]) + mvn_eps,
+             jnp.where(still_bad, f1, cov_p[1]) + mvn_eps,
+             jnp.where(still_bad, f2, cov_p[2]) + mvn_eps,
+             jnp.where(still_bad, zero, cov_p[3]),
+             jnp.where(still_bad, zero, cov_p[4]),
+             jnp.where(still_bad, zero, cov_p[5]))
+    return cov_p
+
+
+def sym3_from_parts(p):
+    """Assemble `(..., 3, 3)` symmetric matrices from parts
+    `(p00, p11, p22, p01, p02, p12)`."""
+    p00, p11, p22, p01, p02, p12 = p
+    return jnp.stack([
+        jnp.stack([p00, p01, p02], axis=-1),
+        jnp.stack([p01, p11, p12], axis=-1),
+        jnp.stack([p02, p12, p22], axis=-1),
+    ], axis=-2)
+
+
+# ---------------------------------------------------------------------------
 # Statistical pdfs (parity: reference brutus/utils.py:130-283)
 # ---------------------------------------------------------------------------
 

@@ -11,7 +11,7 @@ from brutus_tpu.dustmap import Bayestar, write_bayestar_file
 from brutus_tpu.fitting import BruteForce
 from brutus_tpu.io import load_results
 from brutus_tpu.ops.optimize import loglike_grid
-from brutus_tpu.ops.posterior import lnpost_grid, _psd_repair
+from brutus_tpu.ops.posterior import lnpost_grid
 from brutus_tpu.utils import inverse3, is_psd3
 
 # Consumed ONLY by the module-level make_grid() call below (fixed
@@ -55,6 +55,7 @@ MC, LABELS, LMASK = make_grid()
 
 def test_psd_repair():
     # Build broken (non-PSD) "precisions": negative cross-dominated.
+    from brutus_tpu.utils import psd_repair_parts
     icov = np.tile(np.array([[4.0, 5.0, 0.0],
                              [5.0, 4.0, 0.0],
                              [0.0, 0.0, 2.0]]), (6, 1, 1))
@@ -63,7 +64,13 @@ def test_psd_repair():
     assert not bool(is_psd3(cov).any())
     scale = jnp.ones(6)
     valid = jnp.ones(6, bool)
-    icov2, cov2 = _psd_repair(icov, cov, scale, valid, PosteriorConfig())
+    pcfg = PosteriorConfig()
+    icov_p = (icov[:, 0, 0], icov[:, 1, 1], icov[:, 2, 2],
+              icov[:, 0, 1], icov[:, 0, 2], icov[:, 1, 2])
+    cov_p = psd_repair_parts(icov_p, scale, valid, pcfg.psd_width,
+                             pcfg.psd_max_passes)
+    from brutus_tpu.utils import sym3_from_parts
+    cov2 = sym3_from_parts(cov_p)
     assert bool(is_psd3(cov2).all())
     eig = np.linalg.eigvalsh(np.asarray(cov2))
     assert (eig > 0).all()
