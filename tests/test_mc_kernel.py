@@ -47,7 +47,7 @@ def _compare(ref, out):
     assert (np.asarray(ref["model_idx"])
             == np.asarray(out["model_idx"])).all()
     for k in ("log_evidence", "chi2min", "dist", "red", "dred", "scale",
-              "av", "rv", "lnprob"):
+              "av", "rv", "lnprob", "cov_sar"):
         a, b = np.asarray(ref[k], np.float64), np.asarray(out[k],
                                                           np.float64)
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4,
