@@ -429,8 +429,87 @@ def load_results(path):
     return out
 
 
+# FITS TFORM letter -> big-endian numpy dtype (binary-table subset).
+_FITS_DTYPES = {"L": "u1", "B": "u1", "I": ">i2", "J": ">i4", "K": ">i8",
+                "E": ">f4", "D": ">f8"}
+
+
+def read_fits_table(path, hdu=1):
+    """Minimal FITS binary-table reader (stdlib + numpy only).
+
+    The reference reads its demo catalogs (e.g. `demos/NGC_2682.fits`,
+    a Gaia x PS1 cross-match feeding the cluster-fitting demo) with
+    astropy, which is not installed here; this parses the standard
+    BINTABLE format directly.  Supports the scalar and fixed-length
+    vector column types used by those catalogs (`L B I J K E D` and
+    `rA` strings); variable-length arrays are not supported.
+
+    Returns a numpy structured array (big-endian fields; use
+    `arr[col].astype(float)` for computation).
+    """
+    import re
+
+    def read_header(f):
+        cards = {}
+        while True:
+            block = f.read(2880)
+            if len(block) < 2880:
+                raise ValueError("truncated FITS header")
+            done = False
+            for i in range(0, 2880, 80):
+                card = block[i:i + 80].decode("ascii", "replace")
+                key = card[:8].strip()
+                if key == "END":
+                    done = True
+                    break
+                if card[8:10] != "= ":
+                    continue
+                val = card[10:].split("/")[0].strip()
+                if val.startswith("'"):
+                    val = val[1:val.rindex("'")].strip()
+                cards[key] = val
+            if done:
+                return cards
+
+    with open(path, "rb") as f:
+        hdr = read_header(f)                      # primary HDU
+        naxis = int(hdr.get("NAXIS", "0"))
+        size = abs(int(hdr.get("BITPIX", "8"))) // 8 if naxis else 0
+        for ax in range(1, naxis + 1):
+            size *= int(hdr[f"NAXIS{ax}"])
+        f.seek(-(-size // 2880) * 2880, 1)
+        for _ in range(hdu - 1):                  # skip intermediate HDUs
+            h = read_header(f)
+            n = int(h["NAXIS1"]) * int(h["NAXIS2"])
+            f.seek(-(-n // 2880) * 2880, 1)
+        hdr = read_header(f)
+        if hdr.get("XTENSION") != "BINTABLE":
+            raise ValueError(f"HDU {hdu} is not a BINTABLE")
+        nrow = int(hdr["NAXIS2"])
+        fields = []
+        for i in range(1, int(hdr["TFIELDS"]) + 1):
+            name = hdr.get(f"TTYPE{i}", f"col{i}")
+            m = re.match(r"(\d*)([LBIJKED])$|(\d*)A$",
+                         hdr[f"TFORM{i}"].strip())
+            if m is None:
+                raise ValueError(
+                    f"unsupported TFORM {hdr[f'TFORM{i}']!r} ({name})")
+            if m.group(3) is not None or m.group(0).endswith("A"):
+                n = int(m.group(3) or m.group(1) or 1)
+                fields.append((name, f"S{n}"))
+            else:
+                n = int(m.group(1)) if m.group(1) else 1
+                dt = _FITS_DTYPES[m.group(2)]
+                fields.append((name, dt) if n == 1 else (name, dt, (n,)))
+        dtype = np.dtype(fields)
+        assert dtype.itemsize == int(hdr["NAXIS1"]), \
+            (dtype.itemsize, hdr["NAXIS1"])
+        return np.frombuffer(f.read(dtype.itemsize * nrow),
+                             dtype=dtype, count=nrow)
+
+
 __all__ = ["load_models", "save_models", "load_offsets", "fetch",
            "fetch_isos", "fetch_tracks", "fetch_dustmaps", "fetch_grids",
            "fetch_offsets", "fetch_nns",
            "data_dir", "ResultsWriter", "load_results",
-           "DATAVERSE_DOIS", "DEFAULT_LABELS"]
+           "read_fits_table", "DATAVERSE_DOIS", "DEFAULT_LABELS"]

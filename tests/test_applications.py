@@ -227,3 +227,97 @@ def test_los_template_and_additive_modes():
     # With additive foreground 0.4 + 0.6 = 1.0 -> matches the data;
     # without it the cloud sits at 0.6 and fits worse.
     assert ll_add > ll_noadd
+
+
+# --- real NGC 2682 (M67) catalog ------------------------------------------
+
+import os
+
+REF_NGC = "/root/reference/demos/NGC_2682.fits"
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not os.path.exists(REF_NGC),
+                    reason="reference catalog unavailable")
+def test_real_ngc2682_cluster_plumbing(isofile, nnfile):
+    """Plumbing check on the reference's committed NGC 2682 (M67)
+    catalog (Gaia DR2 x PS1 ubercal cross-match, the cluster-demo
+    input): the stdlib FITS reader parses it, real PS1 grizy fluxes +
+    Gaia parallaxes flow through `isochrone_loglike`, and the
+    parallax term discriminates the cluster's true distance
+    (~1/1.14 mas ~ 875 pc) from a wrong one."""
+    from brutus_tpu.io import read_fits_table
+    from brutus_tpu.models import Isochrone
+
+    t = read_fits_table(REF_NGC)
+    assert len(t) == 1585 and len(t.dtype.names) == 312
+    plx = t["gaia_dr2_source.parallax"].astype(float)
+    plxe = t["gaia_dr2_source.parallax_error"].astype(float)
+    phot = t["ucal_fluxqz.median"].astype(float)    # maggies, grizy
+    perr = t["ucal_fluxqz.err"].astype(float)
+    assert phot.shape == (1585, 5)
+    member = (np.isfinite(phot).all(1) & np.isfinite(perr).all(1)
+              & (perr > 0).all(1) & np.isfinite(plx) & (plxe > 0)
+              & (np.abs(plx - 1.14) < 0.2) & (plx / plxe > 10))
+    assert member.sum() > 200      # the cluster dominates the field
+    sel = np.flatnonzero(member)[:40]
+    phot, perr = phot[sel], perr[sel]
+    plx, plxe = plx[sel], plxe[sel]
+    # Cluster median parallax is M67's (~1.13-1.15 mas in DR2).
+    assert abs(np.median(plx) - 1.14) < 0.1
+
+    iso = Isochrone(filters=FILTERS[:5], nnfile=nnfile[0],
+                    mistfile=isofile, verbose=False)
+    eep_grid = np.linspace(202.0, 600.0, 200)
+
+    def ll(dist_pc=875.0, fout=0.05):
+        theta = np.array([0.0, 9.6, 0.1, 3.3, dist_pc, fout])
+        total, lnls = isochrone_loglike(
+            theta, iso, phot, perr, smf_grid=np.array([0.0]),
+            eep_grid=eep_grid, mini_bound=0.4,
+            parallax=plx, parallax_err=plxe, return_lnls=True)
+        assert lnls.shape == (len(phot),)
+        return total
+
+    near = ll()
+    assert np.isfinite(near)
+    # Real PS1 photometry against synthetic-physics isochrones is
+    # mostly "outliers"; the mixture must absorb it (higher fout wins)
+    # instead of underflowing — the reference's fout role
+    # (cluster.py:303-321) on genuinely discrepant data.
+    assert ll(fout=0.9) > ll(fout=0.01)
+
+    # Single-star engine on the same real members: the grid's model
+    # SEDs are real member SED shapes at their observed apparent
+    # magnitudes, so each star's best model is its own SED at
+    # scale ~ 1 (the 5-band MLE scale error ~1% legitimately beats
+    # the ~4% Gaia parallax prior) — posterior distances must
+    # localize to the ~1 kpc cluster scale with no NaN/degenerate
+    # output on real fluxes.
+    from brutus_tpu.fitting import BruteForce
+    r2 = np.random.default_rng(5)
+    M = 512
+    src = np.flatnonzero(member)
+    rows = src[r2.integers(0, len(src), M)]
+    mag0 = -2.5 * np.log10(t["ucal_fluxqz.median"].astype(float)[rows])
+    mc = np.stack([mag0,
+                   r2.uniform(0.4, 1.1, (M, 5)),
+                   r2.uniform(0.05, 0.2, (M, 5))], axis=-1)
+    ltype = np.dtype([("mini", float), ("feh", float), ("loga", float)])
+    labels = np.zeros(M, dtype=ltype)
+    labels["mini"] = r2.uniform(0.5, 2.0, M)
+    labels["feh"] = r2.uniform(-1.0, 0.3, M)
+    labels["loga"] = r2.uniform(8.0, 10.1, M)
+    n = 16
+    l = t["gaia_dr2_source.l"].astype(float)[sel][:n]
+    b = t["gaia_dr2_source.b"].astype(float)[sel][:n]
+    bf = BruteForce(mc, labels)
+    out = bf.fit(phot[:n], perr[:n], np.ones((n, 5), bool),
+                 data_coords=np.c_[l, b], parallax=plx[:n],
+                 parallax_err=plxe[:n], Nmc_prior=16, Ndraws=64,
+                 batch_size=8, n_sel_max=64, verbose=False,
+                 return_results=True)
+    assert np.isfinite(out["log_evidence"]).all()
+    dmed = np.median(out["dist"], axis=1)      # kpc (grid ref = 1 kpc)
+    assert np.all((dmed > 0.7) & (dmed < 1.4))
+    assert np.isfinite(out["dist"]).all() and (out["red"] >= 0).all()
