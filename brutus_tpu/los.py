@@ -186,5 +186,165 @@ def LOS_clouds_loglike_samples(theta, dsamps, rsamps, kernel="gauss",
     return float(out)
 
 
+# ---------------------------------------------------------------------------
+# TPU-native LOS fitting driver
+# ---------------------------------------------------------------------------
+
+def _prior_transform_jax(u, rlims, dlims, pb_params, s_params,
+                         dust_template, nlims):
+    """JAX re-implementation of `LOS_clouds_priortransform` (same math;
+    truncated-log-normal ppf via ndtri) for use inside the jitted
+    sampler.  `u` may carry leading batch dims."""
+    from jax.scipy.special import ndtri
+    from jax.scipy.stats import norm
+
+    def trunc_lognorm_ppf(q, mean, std, lo, hi):
+        a = norm.cdf((lo - mean) / std)
+        b = norm.cdf((hi - mean) / std)
+        return jnp.exp(mean + std * ndtri(a + q * (b - a)))
+
+    pb = trunc_lognorm_ppf(u[..., 0], *pb_params)
+    s0 = trunc_lognorm_ppf(u[..., 1], *s_params)
+    s = trunc_lognorm_ppf(u[..., 2], *s_params)
+    fg = u[..., 3] * (rlims[1] - rlims[0]) + rlims[0]
+    ud = u[..., 4::2]
+    ur = u[..., 5::2]
+    order = jnp.argsort(ud, axis=-1)
+    dists = (jnp.take_along_axis(ud, order, axis=-1)
+             * (dlims[1] - dlims[0]) + dlims[0])
+    ur_sorted = jnp.take_along_axis(ur, order, axis=-1)
+    lo, hi = nlims if dust_template else rlims
+    creds = ur_sorted * (hi - lo) + lo
+    return pb, s0, s, fg, dists, creds
+
+
+def fit_clouds(dsamps, rsamps, n_clouds, kernel="gauss",
+               rlims=(0.0, 6.0), dlims=(4.0, 19.0),
+               pb_params=(-3.0, 0.7, -np.inf, 0.0),
+               s_params=(-3.0, 0.3, -np.inf, 0.0),
+               template_reds=None, additive_foreground=False,
+               monotonic=True, Ndraws=25,
+               n_walkers=64, n_steps=1500, n_burn=750, stretch_a=2.0,
+               seed=0):
+    """Fit the N-cloud LOS extinction model with a TPU-native sampler.
+
+    The reference drives `LOS_clouds_loglike_samples` with an external
+    nested sampler (dynesty, `demos/Overview 4`); this is a
+    self-contained replacement: an affine-invariant ensemble MCMC
+    (Goodman & Weare stretch moves, emcee's algorithm) running
+    **fully jitted** on device — all walkers' likelihoods evaluate as
+    one dense `(walkers, clouds, stars, draws)` block per step, and
+    the whole chain is a `lax.scan`.  Sampling happens in the prior
+    unit cube (the prior transform maps to parameters, so the uniform
+    cube measure reproduces the reference's priors exactly);
+    out-of-cube proposals and non-monotonic reddening profiles are
+    rejected, mirroring the reference's rejection at `los.py:200-203`.
+
+    Parameters
+    ----------
+    dsamps, rsamps : (Nobj, >=Ndraws) per-star posterior draws of
+        distance modulus and reddening (from `BruteForce.fit`).
+    n_clouds : number of clouds.
+    Other knobs mirror `LOS_clouds_priortransform` /
+    `LOS_clouds_loglike_samples`.
+
+    Returns
+    -------
+    dict with `samples (n_kept, ndim)` in the reference's theta layout
+    `[pb, s0, s, fg_red, d1, r1, d2, r2, ...]`, `logl (n_kept,)`,
+    `acceptance` (mean rate), and `map_theta`.
+    """
+    if kernel not in _KERNELS:
+        raise ValueError(f"invalid kernel {kernel!r}")
+    kern = _KERNELS[kernel]
+    area = rlims[1] - rlims[0]
+    ndim = 4 + 2 * n_clouds
+    dust_template = template_reds is not None
+    nlims = (0.2, 2.0)
+
+    ds = jnp.asarray(dsamps[:, :Ndraws], jnp.float32)
+    rs = jnp.asarray(rsamps[:, :Ndraws], jnp.float32)
+    treds = (jnp.asarray(template_reds, jnp.float32)
+             if dust_template else None)
+    pbp = tuple(float(x) for x in pb_params)
+    ssp = tuple(float(x) for x in s_params)
+
+    def logpost(u):
+        """(W, ndim) unit-cube positions -> (W,) log-posteriors."""
+        inb = jnp.all((u > 0.0) & (u < 1.0), axis=-1)
+        uc = jnp.clip(u, 1e-6, 1.0 - 1e-6)
+        pb, s0, s, fg, dists, creds = _prior_transform_jax(
+            uc, rlims, dlims, pbp, ssp, dust_template, nlims)
+        reds = jnp.concatenate([fg[:, None], creds], axis=-1)
+
+        def one(reds_w, dists_w, pb_w, s0_w, s_w):
+            return _los_loglike_core(
+                reds_w, dists_w, pb_w, s0_w * area, s_w * area, ds, rs,
+                template_reds=treds, kernel=kernel, rlims=tuple(rlims),
+                additive_foreground=additive_foreground)
+
+        ll = jax.vmap(one)(reds, dists, pb, s0, s)
+        if monotonic:
+            # Reference rejection of non-monotonic profiles
+            # (los.py:200-203); pass monotonic=False in template mode.
+            mono = jnp.all(jnp.diff(reds, axis=-1) >= 0.0, axis=-1)
+            ll = jnp.where(mono, ll, -jnp.inf)
+        return jnp.where(inb, ll, -jnp.inf)
+
+    W = n_walkers
+    half = W // 2
+    key = jax.random.PRNGKey(seed)
+    key, k0 = jax.random.split(key)
+    u0 = jax.random.uniform(k0, (W, ndim), jnp.float32, 0.02, 0.98)
+    lp0 = logpost(u0)
+
+    def half_step(u, lp, active, key):
+        """Stretch-move update of `active` walkers vs the complement."""
+        ka, kz, ku = jax.random.split(key, 3)
+        # Partner from the OTHER half: walkers [0, half) draw from
+        # [half, W) and vice versa (Goodman & Weare parallel variant).
+        j = jax.random.randint(ka, (W,), 0, half)
+        idx = jnp.where(jnp.arange(W) < half, half + j, j)
+        partners = u[idx]
+        zu = jax.random.uniform(kz, (W,), jnp.float32)
+        z = ((stretch_a - 1.0) * zu + 1.0) ** 2 / stretch_a
+        prop = partners + z[:, None] * (u - partners)
+        lp_prop = logpost(prop)
+        ln_acc = (ndim - 1) * jnp.log(z) + lp_prop - lp
+        accept = (jnp.log(jax.random.uniform(ku, (W,), jnp.float32))
+                  < ln_acc) & active
+        u = jnp.where(accept[:, None], prop, u)
+        lp = jnp.where(accept, lp_prop, lp)
+        return u, lp, accept
+
+    def step(carry, key):
+        u, lp = carry
+        k1, k2 = jax.random.split(key)
+        first = jnp.arange(W) < half
+        u, lp, acc1 = half_step(u, lp, first, k1)
+        u, lp, acc2 = half_step(u, lp, ~first, k2)
+        return (u, lp), (u, lp, acc1 | acc2)
+
+    keys = jax.random.split(key, n_steps)
+    (_, _), (chain_u, chain_lp, accs) = jax.lax.scan(
+        step, (u0, lp0), keys)
+
+    kept_u = np.asarray(chain_u[n_burn:]).reshape(-1, ndim)
+    kept_lp = np.asarray(chain_lp[n_burn:]).reshape(-1)
+    finite = np.isfinite(kept_lp)
+    kept_u, kept_lp = kept_u[finite], kept_lp[finite]
+    thetas = np.stack(
+        [LOS_clouds_priortransform(
+            np.clip(uu, 1e-6, 1 - 1e-6), rlims=rlims, dlims=dlims,
+            pb_params=pb_params, s_params=s_params,
+            dust_template=dust_template, nlims=nlims)
+         for uu in kept_u[:: max(1, len(kept_u) // 4000)]])
+    kept_lp = kept_lp[:: max(1, len(kept_u) // 4000)]
+    return dict(samples=thetas, logl=kept_lp,
+                acceptance=float(np.asarray(accs).mean()),
+                map_theta=thetas[np.argmax(kept_lp)])
+
+
 __all__ = ["LOS_clouds_priortransform", "LOS_clouds_loglike_samples",
+           "fit_clouds",
            "kernel_tophat", "kernel_gauss", "kernel_lorentz"]

@@ -5,6 +5,12 @@ generates a coefficient grid over (mini, eep, feh, afe), and writes it
 in the schema `brutus_tpu.io.load_models` reads.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
 import time
 
 import numpy as np

@@ -7,6 +7,12 @@ summarizes the recovered distances/reddenings.
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import os
 
 import numpy as np
 

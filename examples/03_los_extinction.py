@@ -2,14 +2,22 @@
 
 Uses per-star (distance, Av) posterior draws to fit an N-cloud
 cumulative-extinction model along a sightline.  The reference drives
-this with dynesty; here a simple grid scan demonstrates the jitted
-likelihood (any external sampler can call it the same way).
+this with dynesty; here the built-in TPU-native ensemble sampler
+(`los.fit_clouds`, fully jitted stretch-move MCMC) fits it directly —
+a grid scan of the same jitted likelihood is shown first (any external
+sampler can call it the same way).
 """
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 
 import numpy as np
 
 from brutus_tpu.los import (LOS_clouds_loglike_samples,
-                            LOS_clouds_priortransform)
+                            LOS_clouds_priortransform, fit_clouds)
 
 rng = np.random.default_rng(1)
 
@@ -37,3 +45,12 @@ for d0 in np.arange(5.0, 15.0, 0.25):
             best = (ll, d0, r0)
 print(f"best cloud: distance_modulus={best[1]:.2f} (true 9.0), "
       f"Av={best[2]:.2f} (true 1.25), logl={best[0]:.1f}")
+
+# Full posterior with the built-in TPU-native ensemble sampler.
+out = fit_clouds(dsamps, rsamps, n_clouds=1, n_walkers=64,
+                 n_steps=2000, n_burn=1000, seed=0)
+s = out["samples"]
+q = lambda i: np.percentile(s[:, i], [16, 50, 84])
+print(f"fit_clouds: acceptance={out['acceptance']:.2f}; "
+      f"cloud dm={q(4)[1]:.2f} (+{q(4)[2]-q(4)[1]:.2f}/-{q(4)[1]-q(4)[0]:.2f}, true 9.0), "
+      f"Av={q(5)[1]:.2f} (true 1.25), fg={q(3)[1]:.2f} (true 0.25)")

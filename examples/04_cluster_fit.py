@@ -4,6 +4,12 @@ Generates a synthetic co-eval cluster from the Isochrone model and
 profiles the joint likelihood over age and distance.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
 import numpy as np
 
 from _synth import FILTERS, make_data_files

@@ -4,6 +4,12 @@ Injects a known 8% zero-point error into one band of a fitted catalog
 and recovers it with the leave-one-band-out bootstrap calibration.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
 import numpy as np
 
 from _synth import FILTERS, make_data_files, synth_catalog

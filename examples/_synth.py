@@ -9,6 +9,12 @@ to end out of the box.  Swap the paths for the real files (see
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import os
 import tempfile
 
 import numpy as np
