@@ -541,8 +541,12 @@ def _batch_fns(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
         dtype = lnp_sel.dtype
         ndraws = idxs.shape[0]
         hi = jax.lax.Precision.HIGHEST
+        # bf16 one-hot: EXACT (every entry is 0.0 or 1.0, and jax
+        # promotes it back to f32 inside the matmuls) at half the HBM
+        # footprint of the (ndraws, K) selection matrix.
         oh = (idxs[:, None]
-              == jnp.arange(K, dtype=jnp.int32)[None, :]).astype(dtype)
+              == jnp.arange(K, dtype=jnp.int32)[None, :]).astype(
+                  jnp.bfloat16)
         mlev = jnp.concatenate(
             [sel["scale_k"][:, None], sel["av_k"][:, None],
              sel["rv_k"][:, None], lnp_sel[:, None]], axis=1)  # (K, 4)
