@@ -16,6 +16,7 @@ Prints ONE JSON line:
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -100,6 +101,15 @@ def main():
         args.screen = min(args.screen, 512)
 
     import jax
+    # Persistent compilation cache: the tunnel backend's remote compile
+    # is the dominant cost of re-running the bench (tens of seconds per
+    # whole-step executable); cached executables load in ~ms.
+    try:
+        os.makedirs("/tmp/jax_cache", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from brutus_tpu.config import FitConfig, PosteriorConfig
     from brutus_tpu.ops.optimize import loglike_grid
