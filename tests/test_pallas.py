@@ -238,3 +238,42 @@ def test_bruteforce_fused_engine():
     d_x = np.median(out_x["dist"], axis=1)
     np.testing.assert_allclose(d_f, d_x, rtol=0.05)
     _assert_evidence_close(out_f["log_evidence"], out_x["log_evidence"])
+
+
+def test_screened_funnel_wide_filters():
+    """49-band grid (the full reference filter set): exercises the
+    screen kernel's MULTI-GROUP contraction path (n_g = 7 eight-filter
+    K-groups accumulated per matmul) plus wide slab gathers; every
+    other funnel test uses F=8 (one group)."""
+    from brutus_tpu.ops.pallas_loglike import (prepare_screen,
+                                               loglike_grid_screened)
+    rng = np.random.default_rng(211)
+    mc, flux, err, idx, _ = _problem(n_model=1024, n_filt=49, n_star=4,
+                                     rng=rng)
+    mask = np.ones(flux.shape, bool)
+    mask[0, 40:] = False                     # masked tail bands
+    cfg = FitConfig(dim_prior=False)
+    M = len(mc)
+    st, packed, names, n_real, maskrow = prepare_screen(
+        mc, aux=dict(lnprior=np.zeros(M, np.float32)), tile=128)
+    assert st[0].shape[0] == 7               # n_g groups
+    res = loglike_grid_screened(
+        jnp.asarray(flux), jnp.asarray(err), jnp.asarray(mask),
+        st, packed, maskrow, n_real, cfg=cfg, tile=128,
+        screen_k=256, screen_block=64, aux_names=names, interpret=True)
+    ct, _ = prepare_coeffs(mc, tile=128)
+    dense = loglike_grid_fused(jnp.asarray(flux), jnp.asarray(err),
+                               jnp.asarray(mask), ct, cfg=cfg,
+                               tile=128, interpret=True, n_real=n_real)
+    lnl = np.asarray(res["lnlike"])
+    gidx = np.asarray(res["global_idx"])
+    lnl_d = np.asarray(dense["lnlike"])[:, :n_real]
+    rows = np.arange(len(flux))
+    w = gidx[rows, lnl.argmax(1)]
+    np.testing.assert_array_equal(w, lnl_d.argmax(1))
+    assert (w == idx).all()
+    np.testing.assert_allclose(lnl[rows, lnl.argmax(1)],
+                               lnl_d[rows, w], rtol=1e-5, atol=1e-3)
+    for b in rows:
+        good = np.flatnonzero(lnl_d[b] > lnl_d[b].max() - 10.0)
+        assert np.isin(good, gidx[b]).all()
