@@ -240,3 +240,43 @@ def test_multihost_two_process_psum():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"MHOK pid={i} procs=2 total=28.0" in out, out
+
+
+@pytest.mark.slow
+def test_screened_engine_model_mesh_wide_filters():
+    """Model-sharded funnel x 49-band grid: the sharded screen tables
+    carry n_g = 7 contraction groups and the per-tile column-concat
+    layout must split cleanly across the 'model' axis."""
+    rng = np.random.default_rng(31)
+    M, F, n_star = 1024, 49, 4
+    mc = np.stack([rng.uniform(8.0, 16.0, (M, F)),
+                   rng.uniform(0.4, 1.1, (M, F)),
+                   rng.uniform(0.05, 0.2, (M, F))],
+                  axis=-1).astype(np.float32)
+    idx = rng.integers(0, M, n_star)
+    av = rng.uniform(0.2, 1.0, n_star)
+    dist = rng.uniform(0.7, 1.5, n_star)
+    sed = (mc[idx, :, 0] + av[:, None] * (mc[idx, :, 1]
+                                          + 3.3 * mc[idx, :, 2]))
+    flux = 10 ** (-0.4 * sed) / dist[:, None] ** 2
+    errs = flux / 60.0
+    flux = flux + rng.normal(size=flux.shape) * errs
+    ltype = np.dtype([("mini", float), ("feh", float), ("loga", float)])
+    labels = np.zeros(M, dtype=ltype)
+    labels["mini"] = rng.uniform(0.5, 2.0, M)
+    labels["feh"] = rng.uniform(-1.0, 0.3, M)
+    labels["loga"] = rng.uniform(8.0, 10.1, M)
+    bf = BruteForce(mc, labels)
+    kw = dict(data_coords=np.tile([204.7, -19.2], (n_star, 1)),
+              parallax=1.0 / dist, parallax_err=0.02 / dist,
+              Nmc_prior=8, Ndraws=16, batch_size=4, n_sel_max=32,
+              verbose=False, return_results=True, engine="fused",
+              tile=64, screen_k=128)
+    out1 = bf.fit(flux, errs, np.ones((n_star, F), bool), **kw)
+    mesh = make_mesh(n_data=2, n_model=4)
+    out8 = bf.fit(flux, errs, np.ones((n_star, F), bool), mesh=mesh,
+                  **kw)
+    np.testing.assert_allclose(out8["log_evidence"],
+                               out1["log_evidence"], rtol=1e-6,
+                               atol=1e-5)
+    assert (out8["model_idx"] == out1["model_idx"]).mean() > 0.95
