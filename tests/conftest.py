@@ -20,3 +20,13 @@ jax.config.update("jax_platforms", "cpu")
 # Oracle-parity tests validate math against float64 numpy; device code is
 # dtype-polymorphic so float32 paths are exercised explicitly where needed.
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the interpret-mode Pallas tests spend
+# most of their wall time in XLA compiles that are identical run to
+# run; cached executables make repeat suite runs several times faster.
+try:
+    os.makedirs("/tmp/jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+except Exception:
+    pass
