@@ -138,3 +138,49 @@ def test_phot_loglike_matches_manual():
     expect = -0.5 * (chi2 + m.sum() * np.log(2 * np.pi)
                      + np.sum(np.log(err[m] ** 2)))
     np.testing.assert_allclose(got, expect, rtol=1e-10)
+
+
+def test_parts_toolkit_matches_matrix_forms():
+    """The parts-based symmetric-3x3 toolkit (shared by the posterior's
+    XLA path and the fused MC kernel) must reproduce the stacked-matrix
+    functions it mirrors."""
+    rng = np.random.default_rng(9)
+    n = 64
+    A = rng.normal(size=(n, 3, 3))
+    A = A @ np.swapaxes(A, 1, 2) + np.eye(3) * 0.1   # SPD
+    # Mix in some ill-scaled + indefinite cases.
+    A[:16] *= np.array([1e8, 1.0, 1e-4])[None, :, None] \
+        * np.array([1e8, 1.0, 1e-4])[None, None, :]
+    A[16:24, 0, 1] = A[16:24, 1, 0] = \
+        2.0 * np.sqrt(A[16:24, 0, 0] * A[16:24, 1, 1])
+    Aj = jnp.asarray(A)
+    p = (Aj[:, 0, 0], Aj[:, 1, 1], Aj[:, 2, 2],
+         Aj[:, 0, 1], Aj[:, 0, 2], Aj[:, 1, 2])
+
+    inv_m = np.asarray(utils.inverse3_stable(Aj))
+    inv_p = np.asarray(utils.sym3_from_parts(utils.inverse3_sym_parts(p)))
+    np.testing.assert_allclose(inv_p, inv_m, rtol=1e-12, atol=1e-12)
+
+    psd_m = np.asarray(utils.is_psd3(Aj))
+    psd_p = np.asarray(utils.is_psd3_parts(p))
+    np.testing.assert_array_equal(psd_p, psd_m)
+
+    spd = np.flatnonzero(psd_m)
+    L_m = np.asarray(utils.cholesky3_stable(Aj[spd]))
+    lp = utils.cholesky3_parts(tuple(x[spd] for x in p))
+    np.testing.assert_allclose(np.asarray(lp[0]), L_m[:, 0, 0], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(lp[1]), L_m[:, 1, 0], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(lp[2]), L_m[:, 1, 1], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(lp[3]), L_m[:, 2, 0], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(lp[4]), L_m[:, 2, 1], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(lp[5]), L_m[:, 2, 2], rtol=1e-12)
+
+    # Repair: every output is PSD (incl. the indefinite inputs), and
+    # already-PSD inputs round-trip to their true inverse.
+    scale = jnp.ones(n)
+    valid = jnp.ones(n, bool)
+    cov_p = utils.psd_repair_parts(p, scale, valid, 0.02, 8)
+    cov = np.asarray(utils.sym3_from_parts(cov_p))
+    assert (np.linalg.eigvalsh(cov) > 0).all()
+    np.testing.assert_allclose(cov[spd], np.linalg.inv(A[spd]),
+                               rtol=1e-6, atol=1e-9)
