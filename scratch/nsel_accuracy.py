@@ -15,6 +15,9 @@ import time
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
 import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
