@@ -110,6 +110,21 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     except Exception:
         pass
+    # Fail fast (with a diagnosable message) when the TPU tunnel is
+    # down: a wedged backend hangs `jax.devices()` inside a C call for
+    # tens of minutes (uninterruptible by SIGALRM), so probe backend
+    # health in a killable subprocess first.
+    import subprocess
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=300, check=True, capture_output=True)
+    except (subprocess.TimeoutExpired,
+            subprocess.CalledProcessError) as e:
+        print(f"bench: JAX backend unavailable ({type(e).__name__}); "
+              f"TPU tunnel down?", file=sys.stderr)
+        sys.exit(1)
+
     import jax.numpy as jnp
     from brutus_tpu.config import FitConfig, PosteriorConfig
     from brutus_tpu.ops.optimize import loglike_grid
