@@ -14,4 +14,6 @@ timeout 1700 python bench.py --tile 1024        > /tmp/tpu5_tile1024.log 2>&1
 tail -3 /tmp/tpu5_tile1024.log
 timeout 1200 python bench.py --nsel 2048 --prefilter 2048 > /tmp/tpu6_nsel2048.log 2>&1
 tail -3 /tmp/tpu6_nsel2048.log
+timeout 1200 python bench.py --batch 256        > /tmp/tpu7_b256.log 2>&1
+tail -3 /tmp/tpu7_b256.log
 echo QUEUE_DONE
