@@ -64,7 +64,7 @@ def main():
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--nmc", type=int, default=50)
     ap.add_argument("--ndraws", type=int, default=250)
-    ap.add_argument("--nsel", type=int, default=4096)
+    ap.add_argument("--nsel", type=int, default=2048)
     ap.add_argument("--engine", choices=["xla", "fused"], default="fused",
                     help="likelihood engine: fused Pallas or plain XLA")
     ap.add_argument("--tile", type=int, default=512)
@@ -79,7 +79,7 @@ def main():
                     help="seed the mag phase with the direct 3x3 solve")
     ap.add_argument("--no-direct-init", dest="direct_init",
                     action="store_false")
-    ap.add_argument("--prefilter", type=int, default=4096)
+    ap.add_argument("--prefilter", type=int, default=2048)
     ap.add_argument("--screen", type=int, default=8192,
                     help="fused-engine funnel: screen all models with a "
                          "cheap direct-solve kernel, fully optimize only "
@@ -188,9 +188,22 @@ def main():
                 star_step, in_axes=(None, None, None, None, 0, 0, 0,
                                     0, 0)))
 
+            # The XLA engine keeps (B, M) f32 intermediates resident
+            # (366 MB each at B=128, M=750k) and exceeds a single
+            # chip's HBM beyond ~32 stars; evaluate in sub-batches.
+            bc = min(B, 32)
+
             def step(keys, f, e, plx, plx_err):
-                return vstep(mc_d, lnprior, feh_d, loga_d, keys, f, e,
-                             plx, plx_err)
+                outs = []
+                for lo in range(0, B, bc):
+                    sl = slice(lo, lo + bc)
+                    outs.append(vstep(mc_d, lnprior, feh_d, loga_d,
+                                      keys[sl], f[sl], e[sl],
+                                      plx[sl], plx_err[sl]))
+                if len(outs) == 1:
+                    return outs[0]
+                return jax.tree.map(lambda *xs: jnp.concatenate(xs),
+                                    *outs)
 
             return step
 

