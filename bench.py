@@ -88,6 +88,8 @@ def main():
     ap.add_argument("--mag-iters", type=int, default=6)
     ap.add_argument("--flux-iters", type=int, default=6)
     ap.add_argument("--mc-tile", type=int, default=256)
+    ap.add_argument("--xla-chunk", type=int, default=32,
+                    help="XLA engine: stars per sub-batch (HBM bound)")
     ap.add_argument("--breakdown", action="store_true",
                     help="funnel engine only: time cumulative stage "
                          "prefixes (screen / +gather / +fit / +select / "
@@ -190,16 +192,22 @@ def main():
 
             # The XLA engine keeps (B, M) f32 intermediates resident
             # (366 MB each at B=128, M=750k) and exceeds a single
-            # chip's HBM beyond ~32 stars; evaluate in sub-batches.
-            bc = min(B, 32)
+            # chip's HBM beyond ~64 stars; evaluate in sub-batches.
+            bc = min(B, args.xla_chunk)
 
             def step(keys, f, e, plx, plx_err):
                 outs = []
                 for lo in range(0, B, bc):
                     sl = slice(lo, lo + bc)
-                    outs.append(vstep(mc_d, lnprior, feh_d, loga_d,
-                                      keys[sl], f[sl], e[sl],
-                                      plx[sl], plx_err[sl]))
+                    o = vstep(mc_d, lnprior, feh_d, loga_d,
+                              keys[sl], f[sl], e[sl],
+                              plx[sl], plx_err[sl])
+                    if args.loglike_only:
+                        # Keep only what winners() consumes: the full
+                        # (chunk, M) icov/scale/av/rv outputs for all
+                        # B stars at once exceed HBM.
+                        o = {"lnlike": o["lnlike"]}
+                    outs.append(o)
                 if len(outs) == 1:
                     return outs[0]
                 return jax.tree.map(lambda *xs: jnp.concatenate(xs),

@@ -137,10 +137,9 @@ def optimize_mag(mags, wt_mag, mag_coeffs, av0, rv0, cfg: FitConfig):
     """
     if cfg.mag_direct_init:
         av0, rv0 = direct_mag_init(mags, wt_mag, mag_coeffs, cfg)
+    mag0 = mag_coeffs[..., 0]
     r0 = mag_coeffs[..., 1]
     dr = mag_coeffs[..., 2]                       # (M, F)
-    models0, rvec0, _ = get_seds_mag(mag_coeffs, av0, rv0)
-    resid0 = mags - models0                       # (M, F)
 
     av_var_inv = 1.0 / cfg.av_gauss[1] ** 2
     rv_var_inv = 1.0 / cfg.rv_gauss[1] ** 2
@@ -155,8 +154,18 @@ def optimize_mag(mags, wt_mag, mag_coeffs, av0, rv0, cfg: FitConfig):
     rp_den = (dr * dr) @ wt_mag                   # (M,)
     srp_mix = dr @ wt_mag                         # (M,)
 
+    # TPU note: the carry holds only (M,) vectors.  `rvec` and `resid`
+    # are exact functions of the carried (av, rv) — the reference's
+    # in-place updates (fitting.py:204, 236-238) maintain precisely
+    # `rvec = r0 + rv dr`, `resid = mags - mag0 - av rvec` — so they
+    # are recomputed at the top of each iteration and every (M, F)
+    # intermediate dies inside one XLA fusion instead of being copied
+    # through the while-loop carry each iteration (the dominant HBM
+    # cost of this engine at (chunk, 750k, F) shapes).
     def body(state):
-        av, rv, rvec, resid, _, it = state
+        av, rv, _, it = state
+        rvec = r0 + rv[:, None] * dr
+        resid = mags - (mag0 + av[:, None] * rvec)
 
         # --- Av update (fitting.py:176-204) ---
         a_den = (rvec * rvec) @ wt_mag + av_var_inv
@@ -179,22 +188,21 @@ def optimize_mag(mags, wt_mag, mag_coeffs, av0, rv0, cfg: FitConfig):
         drv = jnp.clip(drv, rvmin - rv, rvmax - rv)
         rv = rv + drv
         resid = resid - (av * drv)[:, None] * dr
-        rvec = rvec + drv[:, None] * dr
 
         # --- convergence over good-fit subset (fitting.py:240-264) ---
         chi2 = (resid * resid) @ wt_mag
         logwt = -0.5 * chi2
         good = logwt > jnp.max(logwt) + log_init_thresh
         err = _masked_max(jnp.maximum(jnp.abs(dav), jnp.abs(drv)), good)
-        return av, rv, rvec, resid, err, it + 1
+        return av, rv, err, it + 1
 
     def cond(state):
         *_, err, it = state
         return (err >= cfg.mtol) & (it < cfg.max_iter_mag)
 
-    init = (av0, rv0, rvec0, resid0, jnp.asarray(jnp.inf, mags.dtype),
+    init = (av0, rv0, jnp.asarray(jnp.inf, mags.dtype),
             jnp.asarray(0, jnp.int32))
-    av, rv, _rvec, _resid, _err, n_iter = lax.while_loop(cond, body, init)
+    av, rv, _err, n_iter = lax.while_loop(cond, body, init)
     return av, rv, n_iter
 
 
@@ -203,7 +211,8 @@ def optimize_mag(mags, wt_mag, mag_coeffs, av0, rv0, cfg: FitConfig):
 # (parity: reference brutus/fitting.py:430-576 `_get_sed_mle`)
 # ---------------------------------------------------------------------------
 
-def sed_mle(flux, wt_flux, mag_coeffs, av, rv, cfg: FitConfig):
+def sed_mle(flux, wt_flux, mag_coeffs, av, rv, cfg: FitConfig,
+            want_step_sums=False):
     """Recompute flux-space models at `(av, rv)`, solve the MLE scale per
     model, and build the per-model 3x3 precision of `(s, Av, Rv)`.
 
@@ -212,12 +221,20 @@ def sed_mle(flux, wt_flux, mag_coeffs, av, rv, cfg: FitConfig):
     flux : (F,) observed fluxes (0 where masked).
     wt_flux : (F,) `mask / tot_var`.
     mag_coeffs : (M, F, 3); av, rv : (M,).
+    want_step_sums : also return the four filter-axis reductions the
+        damped flux update consumes (`(rvec_s*resid)@w`,
+        `(rvec_s*rvec_s)@w`, `(drvec_s*resid)@w`, `(drvec_s*drvec_s)@w`)
+        plus `chi2` — so `_flux_polish` can carry only `(M,)` state
+        (every `(M, F)` intermediate then dies inside one XLA fusion
+        instead of being copied through the while-loop carry each
+        iteration; measured 366 MB per carried array per star-chunk).
 
     Returns
     -------
     models, rvecs, drvecs : (M, F) scaled flux-space quantities.
     scale : (M,); icov_parts : 6-tuple of (M,) components
     `(s_den, a_den, r_den, sa, sr, ar)`; resid : (M, F).
+    With `want_step_sums`: `(..., resid, (ra, qa, rd, qr), chi2)`.
     """
     m, rvec, drvec = get_seds_flux(mag_coeffs, av, rv)   # unscaled
 
@@ -242,17 +259,23 @@ def sed_mle(flux, wt_flux, mag_coeffs, av, rv, cfg: FitConfig):
     rvec_s = rvec * scale[:, None]
     drvec_s = drvec * scale[:, None]
     ar_mix = (drvec_s * (red_s - resid)) @ wt_flux
-    a_den = ((rvec_s * rvec_s) @ wt_flux
-             + 1.0 / cfg.av_gauss[1] ** 2 + 1.0 / cfg.av_reg ** 2)
-    r_den = ((drvec_s * drvec_s) @ wt_flux
-             + 1.0 / cfg.rv_gauss[1] ** 2 + 1.0 / cfg.rv_reg ** 2)
+    qa = (rvec_s * rvec_s) @ wt_flux
+    qr = (drvec_s * drvec_s) @ wt_flux
+    a_den = qa + 1.0 / cfg.av_gauss[1] ** 2 + 1.0 / cfg.av_reg ** 2
+    r_den = qr + 1.0 / cfg.rv_gauss[1] ** 2 + 1.0 / cfg.rv_reg ** 2
 
     # The 3x3 precisions travel as their 6 unique components; a dense
     # (M, 3, 3) tensor costs 9x the memory traffic of the parts and the
     # posterior stage only assembles the top-k rows
     # (`ops.pallas_loglike.icov_from_parts`).
     icov_parts = (s_den, a_den, r_den, sa_mix, sr_mix, ar_mix)
-    return ms, rvec_s, drvec_s, scale, icov_parts, resid
+    if not want_step_sums:
+        return ms, rvec_s, drvec_s, scale, icov_parts, resid
+    ra = (rvec_s * resid) @ wt_flux
+    rd = (drvec_s * resid) @ wt_flux
+    chi2 = (resid * resid) @ wt_flux
+    return (ms, rvec_s, drvec_s, scale, icov_parts, resid,
+            (ra, qa, rd, qr), chi2)
 
 
 # ---------------------------------------------------------------------------
@@ -293,40 +316,66 @@ def _flux_polish(flux, wt_flux, mcoeffs, init_arrays, keep, cfg: FitConfig):
     `brutus/fitting.py:777-803`; convergence is judged on the subset of
     `keep` models within `ltol_subthresh` of the block's best fit.
 
-    Returns `(chi2, scale, av, rv, icov_sar)` for the block.
+    TPU note: the loop carry holds only `(M,)` vectors — the damped
+    `(dAv, dRv)` update (`optimize_flux_step`'s math) needs just four
+    filter-axis reductions, which `sed_mle(want_step_sums=True)`
+    emits alongside the precisions.  Carrying the `(M, F)`
+    models/rvecs/drvecs/resid arrays instead (as a literal reading of
+    the reference does) forces XLA to copy ~4 x (chunk, M, F) f32
+    through the while-loop carry every iteration — the dominant HBM
+    cost of this engine (and the round-3 B=128 OOM).
+
+    Returns `(chi2, scale, av, rv, icov_sar, n_iter)` for the block.
     """
     models, rvecs, drvecs, scale, av, rv, icov, resid = init_arrays
     K = av.shape[0]
     dtype = av.dtype
     ln_subthresh = math.log(cfg.ltol_subthresh)
+    av_var_inv = 1.0 / cfg.av_gauss[1] ** 2
+    rv_var_inv = 1.0 / cfg.rv_gauss[1] ** 2
+
+    # Step sums of the phase-A state (identical values to what the
+    # previous carried-arrays formulation computed in its first
+    # `optimize_flux_step`).
+    sums0 = ((rvecs * resid) @ wt_flux, (rvecs * rvecs) @ wt_flux,
+             (drvecs * resid) @ wt_flux, (drvecs * drvecs) @ wt_flux)
 
     def body(state):
-        (models, rvecs, drvecs, scale, av, rv, icov, resid,
-         lnl_old, stepsize, _, it) = state
-        av, rv = optimize_flux_step(wt_flux, models, rvecs, drvecs, resid,
-                                    av, rv, stepsize, cfg)
-        (models, rvecs, drvecs, scale, icov,
-         resid) = sed_mle(flux, wt_flux, mcoeffs, av, rv, cfg)
-        chi2 = (resid * resid) @ wt_flux
+        (scale, av, rv, icov, sums, lnl_old, stepsize, _, it) = state
+        ra, qa, rd, qr = sums
+        # Damped (dAv, dRv) update — optimize_flux_step's math on the
+        # carried reductions (both solved at the current residuals,
+        # fitting.py:385-402).
+        a_num = ra + (cfg.av_gauss[0] - av) * av_var_inv
+        a_den = qa + av_var_inv
+        dav = stepsize * a_num / a_den
+        r_num = rd + (cfg.rv_gauss[0] - rv) * rv_var_inv
+        r_den = qr + rv_var_inv
+        drv = stepsize * r_num / r_den
+        dav = jnp.clip(dav, cfg.avlim[0] - av, cfg.avlim[1] - av)
+        av = av + dav
+        drv = jnp.clip(drv, cfg.rvlim[0] - rv, cfg.rvlim[1] - rv)
+        rv = rv + drv
+        (_m, _rv_, _drv_, scale, icov, _resid, sums,
+         chi2) = sed_mle(flux, wt_flux, mcoeffs, av, rv, cfg,
+                         want_step_sums=True)
         lnl_new = -0.5 * chi2
         sel = keep & (lnl_new > _masked_max(lnl_new, keep) + ln_subthresh)
         lerr = _masked_max(jnp.abs(lnl_new - lnl_old), sel)
         stepsize = jnp.where(lnl_new < lnl_old,
                              stepsize / cfg.stepsize_rescale, stepsize)
-        return (models, rvecs, drvecs, scale, av, rv, icov, resid,
-                lnl_new, stepsize, lerr, it + 1)
+        return (scale, av, rv, icov, sums, lnl_new, stepsize, lerr,
+                it + 1)
 
     def cond(state):
         *_, lerr, it = state
         return (lerr > cfg.ltol) & (it < cfg.max_iter_flux)
 
-    init = (models, rvecs, drvecs, scale, av, rv, icov, resid,
+    init = (scale, av, rv, icov, sums0,
             jnp.full((K,), NEG_BIG, dtype), jnp.ones((K,), dtype),
             jnp.asarray(jnp.inf, dtype), jnp.asarray(0, jnp.int32))
-    (*_, scale_f, av_f, rv_f, icov_f, _resid,
-     lnl_f, _ss, _lerr, n_iter) = lax.while_loop(cond, body, init)
-    # state order: models, rvecs, drvecs, scale, av, rv, icov, resid,
-    #              lnl, stepsize, lerr, it
+    (scale_f, av_f, rv_f, icov_f, _sums, lnl_f, _ss, _lerr,
+     n_iter) = lax.while_loop(cond, body, init)
     return -2.0 * lnl_f, scale_f, av_f, rv_f, icov_f, n_iter
 
 
