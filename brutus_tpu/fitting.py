@@ -405,7 +405,7 @@ class BruteForce:
             logl_dim_prior=True, ltol=3e-2, ltol_subthresh=1e-2,
             logl_initthresh=5e-3, mag_max=50.0, merr_max=0.25,
             save_dar_draws=True, running_io=True, verbose=True,
-            batch_size=16, n_sel_max=4096, seed=0, resume=False,
+            batch_size=16, n_sel_max=2048, seed=0, resume=False,
             return_results=False, return_sel=False, mesh=None,
             engine=None, tile=512, screen_k=8192, mag_direct_init=True,
             _yield_batches=False):

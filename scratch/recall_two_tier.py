@@ -72,10 +72,14 @@ def main():
     plx = jnp.asarray(cat["parallax"])
     plxw = 1.0 / jnp.asarray(cat["parallax_err"]) ** 2
 
+    # Key the score cache on the grid contents (model count + a cheap
+    # coefficient checksum): a regenerated recall_grid.npz must not be
+    # silently paired with stale cached scores.
+    gkey = f"{mc.shape[0]}_{abs(int(float(mc.sum()) * 1e3)) % 10 ** 8:08d}"
     scores = {}
     for name, solve_rv in (("3x3", True), ("2x2", False)):
         cpath = os.path.join(_synth.workdir(),
-                             f"twotier_score_{name}_{n_star}.npy")
+                             f"twotier_score_{name}_{n_star}_{gkey}.npy")
         if os.path.exists(cpath):
             scores[name] = np.load(cpath)
             print(f"{name}: cached", flush=True)
@@ -122,10 +126,13 @@ def main():
         cover = np.mean([np.isin(order3[b, :nb2], sel1[b]).mean()
                          for b in range(n_star)])
         cols = (5.0 * n_real + 9.0 * K1) / (9.0 * n_real)
+        M_PROD = 750_000        # production grid size
+        cols_prod = (5.0 * M_PROD + 9.0 * K1) / (9.0 * M_PROD)
         print(f"two-tier K1={K1:6d}: min={rec.min():.4f} "
               f"p10={np.percentile(rec, 10):.4f} mean={rec.mean():.4f} "
               f"hit={hit:.3f} block-cover={cover:.4f} "
-              f"cols={cols:.2f}x", flush=True)
+              f"cols={cols:.2f}x (test grid M={n_real}; "
+              f"{cols_prod:.2f}x at M=750k)", flush=True)
 
 
 if __name__ == "__main__":
