@@ -81,9 +81,10 @@ def main():
                     action="store_false")
     ap.add_argument("--prefilter", type=int, default=2048)
     ap.add_argument("--screen", type=int, default=8192,
-                    help="fused-engine funnel: screen all models with a "
-                         "cheap direct-solve kernel, fully optimize only "
-                         "the top-`screen` models per star (0 = dense)")
+                    help="two-stage funnel (both engines): screen all "
+                         "models with the cheap direct-solve score, "
+                         "fully optimize only the top-`screen` models "
+                         "per star (0 = dense)")
     ap.add_argument("--screen-block", type=int, default=256)
     ap.add_argument("--mag-iters", type=int, default=6)
     ap.add_argument("--flux-iters", type=int, default=6)
@@ -151,6 +152,55 @@ def main():
 
     def make_step(engine):
         if engine == "xla":
+            if args.screen:
+                # Plain-XLA funnel: batched screen + block gather +
+                # vmapped dense fit + vmapped XLA posterior.  (B, P)
+                # intermediates replace the dense engine's (B, M), so
+                # no sub-batching is needed.
+                from brutus_tpu.ops.screen_xla import (
+                    prepare_screen_xla, loglike_grid_screened_xla)
+                tabw, tabc, packed_b, aux_names, n_real = \
+                    prepare_screen_xla(
+                        mc, aux=dict(lnprior=np.zeros(M, np.float32),
+                                     feh=feh.astype(np.float32),
+                                     loga=loga.astype(np.float32)),
+                        block=args.screen_block)
+                xla_cfg = FitConfig(
+                    mag_direct_init=args.direct_init,
+                    screen_k=args.screen)
+
+                def step_fn(tw, tc, pb, keys, f, e, plx, plx_err):
+                    res = loglike_grid_screened_xla(
+                        f, e, jnp.ones_like(f, bool), tw, tc, pb,
+                        n_real, parallax=plx, parallax_err=plx_err,
+                        cfg=xla_cfg, screen_k=args.screen,
+                        aux_names=aux_names)
+                    gidx = res.pop("global_idx")
+                    aux = res.pop("aux")
+                    if args.loglike_only:
+                        res["global_idx"] = gidx
+                        return res
+
+                    def star_post(key, r, lnp_g, gix, feh_s, loga_s,
+                                  p, pe):
+                        return lnpost_grid(
+                            key, r, lnp_g, coord, parallax=p,
+                            parallax_err=pe, feh=feh_s, loga=loga_s,
+                            dust_profile=(dust_dist, dust_mean,
+                                          dust_std),
+                            global_idx=gix, cfg=post_cfg)
+
+                    return jax.vmap(star_post)(
+                        keys, res, aux["lnprior"], gidx, aux["feh"],
+                        aux["loga"], plx, plx_err)
+
+                jstep = jax.jit(step_fn)
+
+                def step(keys, f, e, plx, plx_err):
+                    return jstep(tabw, tabc, packed_b, keys, f, e,
+                                 plx, plx_err)
+
+                return step
             if n_dev > 1:
                 # Multi-chip: shard the model grid over all devices;
                 # per-star reductions become ICI collectives under GSPMD.

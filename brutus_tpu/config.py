@@ -111,6 +111,16 @@ class FitConfig:
     # fit for the truncation to bite.
     screen_k: int = 8192
 
+    # Funnel shortlist selection granularity: models are selected as
+    # contiguous `screen_block`-wide slabs (the screening kernel emits
+    # per-block score maxima; the gather stage moves whole slabs at
+    # memory bandwidth).  Narrower blocks raise worst-star recall at
+    # fixed `screen_k` (more, smaller slabs track the ridge of the
+    # chi2 landscape more tightly — see RECALL.json) for slightly more
+    # gather/selection work; on TPU hardware the fused path clamps to
+    # >= 128 (DMA lane alignment).
+    screen_block: int = 256
+
     @property
     def mtol(self):
         """Mag-phase tolerance, `2.5 * ltol` (fitting.py:732)."""

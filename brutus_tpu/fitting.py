@@ -156,7 +156,8 @@ def _screened_step(fit_cfg, post_cfg, gal_cfg, dust_cfg, apply_av_prior,
         res = loglike_grid_screened(
             flux, err, mask, ct, pk, mr, n_real,
             parallax=plx, parallax_err=plx_err, cfg=fit_cfg,
-            tile=tile, screen_k=fit_cfg.screen_k, aux_names=aux_names,
+            tile=tile, screen_k=fit_cfg.screen_k,
+            screen_block=fit_cfg.screen_block, aux_names=aux_names,
             model_axis=model_axis, n_model_shards=n_ms)
         gidx = res.pop("global_idx")
         aux = res.pop("aux")
@@ -227,6 +228,115 @@ def _screened_step(fit_cfg, post_cfg, gal_cfg, dust_cfg, apply_av_prior,
             return cache[has_dust](ct, pk, mr, keys, f, e, m, px, pe,
                                    co, dm, ds, dd)
         return cache[has_dust](ct, pk, mr, keys, f, e, m, px, pe, co)
+
+    return step
+
+
+@lru_cache(maxsize=16)
+def _screened_step_xla(fit_cfg, post_cfg, gal_cfg, dust_cfg,
+                       apply_av_prior, aux_names, n_real, mesh=None,
+                       lngalprior=None, lndustprior=None):
+    """ONE jitted executable for the plain-XLA funnel step: batched
+    screen (`ops.screen_xla`) + block gather + vmapped dense fit +
+    vmapped XLA posterior.  No Pallas anywhere — the production path
+    for non-TPU backends and for model-sharded grids beyond per-chip
+    HBM.  Tables are jit ARGUMENTS (closure capture would embed them
+    as XLA constants, ~100x compile blowup).
+
+    With a `mesh` whose 'model' axis is >1 the step runs under
+    `shard_map`, mirroring `_screened_step`'s sharded mode: each shard
+    screens its own slice, block shortlists merge over ICI, and the
+    shortlist fit + posterior run shard-redundantly.
+    """
+    from .ops.screen_xla import loglike_grid_screened_xla
+    from .ops.posterior import lnpost_grid
+
+    n_ms = mesh.shape.get("model", 1) if mesh is not None else 1
+    model_axis = "model" if n_ms > 1 else None
+
+    def step_fn(tabw, tabc, packed_b, keys, flux, err, mask, plx,
+                plx_err, coord, dust_mean, dust_std, dust_dist,
+                ext_lnl):
+        res = loglike_grid_screened_xla(
+            flux, err, mask, tabw, tabc, packed_b, n_real,
+            parallax=plx, parallax_err=plx_err, cfg=fit_cfg,
+            screen_k=fit_cfg.screen_k, aux_names=aux_names,
+            model_axis=model_axis, n_model_shards=n_ms)
+        gidx = res.pop("global_idx")
+        aux = res.pop("aux")
+        if ext_lnl is not None:
+            res["lnlike"] = res["lnlike"] + jnp.take_along_axis(
+                ext_lnl, gidx, axis=1)
+
+        def star_post(key, r, lnp_g, gix, plx_s, pe_s, coord_s, dm, ds,
+                      feh_s, loga_s):
+            profile = ((dust_dist, dm, ds) if dm is not None else None)
+            return lnpost_grid(key, r, lnp_g, coord_s,
+                               parallax=plx_s, parallax_err=pe_s,
+                               feh=feh_s, loga=loga_s,
+                               dust_profile=profile, global_idx=gix,
+                               cfg=post_cfg, gal_cfg=gal_cfg,
+                               dust_cfg=dust_cfg,
+                               apply_av_prior=apply_av_prior,
+                               lngalprior=lngalprior,
+                               lndustprior=lndustprior)
+
+        axes = (0, 0, 0, 0, 0, 0, 0,
+                0 if dust_mean is not None else None,
+                0 if dust_std is not None else None,
+                0 if "feh" in aux_names else None,
+                0 if "loga" in aux_names else None)
+        return jax.vmap(star_post, in_axes=axes)(
+            keys, res, aux["lnprior"], gidx, plx, plx_err, coord,
+            dust_mean, dust_std, aux.get("feh"), aux.get("loga"))
+
+    if model_axis is None:
+        return jax.jit(step_fn)
+
+    try:
+        from jax import shard_map
+    except ImportError:            # older jax
+        from jax.experimental.shard_map import shard_map
+    import inspect
+    _sm_params = inspect.signature(shard_map).parameters
+    _sm_kw = {("check_vma" if "check_vma" in _sm_params
+               else "check_rep"): False}
+    from jax.sharding import PartitionSpec as P
+    tspec = P(None, None, "model")       # tabw/tabc: model columns last
+    pspec = P("model", None, None)       # packed blocks: blocks first
+    d = P("data")
+    r = P()
+
+    def make(has_dust):
+        if has_dust:
+            def body(tw, tc, pb, keys, f, e, m, px, pe, co, dm, ds, dd):
+                return step_fn(tw, tc, pb, keys, f, e, m, px, pe, co,
+                               dm, ds, dd, None)
+            ins = (tspec, tspec, pspec, d, d, d, d, d, d, d, d, d, r)
+        else:
+            def body(tw, tc, pb, keys, f, e, m, px, pe, co):
+                return step_fn(tw, tc, pb, keys, f, e, m, px, pe, co,
+                               None, None, None, None)
+            ins = (tspec, tspec, pspec, d, d, d, d, d, d, d)
+        return jax.jit(shard_map(body, mesh=mesh, in_specs=ins,
+                                 out_specs=d, **_sm_kw))
+
+    cache = {}
+
+    def step(tw, tc, pb, keys, f, e, m, px, pe, co, dm, ds, dd,
+             ext_lnl):
+        if ext_lnl is not None:
+            raise NotImplementedError(
+                "lnprior_ext is not supported with a model-sharded "
+                "mesh (the (B, M) prior table would need model-axis "
+                "sharding + a distributed gather)")
+        has_dust = dm is not None
+        if has_dust not in cache:
+            cache[has_dust] = make(has_dust)
+        if has_dust:
+            return cache[has_dust](tw, tc, pb, keys, f, e, m, px, pe,
+                                   co, dm, ds, dd)
+        return cache[has_dust](tw, tc, pb, keys, f, e, m, px, pe, co)
 
     return step
 
@@ -315,6 +425,22 @@ class BruteForce:
                     engine="xla", tile=512, n_real=None,
                     screen_tables=None, mesh=None,
                     lngalprior=None, lndustprior=None):
+
+        if engine == "xla_screen":
+            tabw, tabc, packed_b, aux_names, n_real_s = screen_tables
+            jstep = _screened_step_xla(fit_cfg, post_cfg, gal_cfg,
+                                       dust_cfg, apply_av_prior,
+                                       aux_names, n_real_s, mesh=mesh,
+                                       lngalprior=lngalprior,
+                                       lndustprior=lndustprior)
+
+            def step(keys, flux, err, mask, plx, plx_err, coord,
+                     dust_mean, dust_std, dust_dist, ext_lnl):
+                return jstep(tabw, tabc, packed_b, keys, flux, err,
+                             mask, plx, plx_err, coord, dust_mean,
+                             dust_std, dust_dist, ext_lnl)
+
+            return step
 
         if engine == "fused_screen":
             coeffs_t, packed, aux_names, n_real_s, maskrow = screen_tables
@@ -407,7 +533,8 @@ class BruteForce:
             save_dar_draws=True, running_io=True, verbose=True,
             batch_size=16, n_sel_max=2048, seed=0, resume=False,
             return_results=False, return_sel=False, mesh=None,
-            engine=None, tile=512, screen_k=8192, mag_direct_init=True,
+            engine=None, tile=512, screen_k=8192, screen_block=256,
+            mag_direct_init=True,
             _yield_batches=False):
         """Fit every star against the grid and write the results file.
 
@@ -457,6 +584,7 @@ class BruteForce:
                             init_thresh=logl_initthresh,
                             dim_prior=logl_dim_prior,
                             screen_k=int(screen_k),
+                            screen_block=int(screen_block),
                             # Production default ON (the fused kernel
                             # always direct-seeds; this turns it on for
                             # the XLA engine too — same converged
@@ -671,6 +799,39 @@ class BruteForce:
                     return {k: np.concatenate(
                         [np.asarray(o[k]) for o in outs])
                         for k in outs[0]}
+        elif use_screen:
+            # Plain-XLA funnel: same screen -> block shortlist -> fit
+            # algorithm, no Pallas (non-TPU backends; model-sharded
+            # grids run it under shard_map).  lnprior/labels ride as
+            # gathered aux columns like the fused funnel.
+            from .ops.screen_xla import prepare_screen_xla
+            aux = {"lnprior": np.asarray(lnprior, np.float32)}
+            if feh_arr is not None:
+                aux["feh"] = np.asarray(feh_arr, np.float32)
+            if loga_arr is not None:
+                aux["loga"] = np.asarray(loga_arr, np.float32)
+            block = fit_cfg.screen_block
+            (tabw, tabc, packed_b, aux_names,
+             n_real) = prepare_screen_xla(self.models, aux=aux,
+                                          block=block,
+                                          n_shards=model_ax)
+            if mesh is not None:
+                from .parallel import data_sharding
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                tabw = jax.device_put(
+                    tabw, NamedSharding(mesh, P(None, None, "model")))
+                tabc = jax.device_put(
+                    tabc, NamedSharding(mesh, P(None, None, "model")))
+                packed_b = jax.device_put(
+                    packed_b, NamedSharding(mesh, P("model", None, None)))
+                batch_shard = data_sharding(mesh)
+            step = self._build_step(
+                fit_cfg, post_cfg, gal_cfg, dust_cfg, apply_av_prior,
+                apply_dlabels, None, None, has_ext=ext_lnl is not None,
+                engine="xla_screen",
+                screen_tables=(tabw, tabc, packed_b, aux_names, n_real),
+                mesh=mesh, lngalprior=lngalprior,
+                lndustprior=lndustprior)
         else:
             if mesh is not None:
                 from .parallel import shard_grid, data_sharding

@@ -277,6 +277,75 @@ N_SCREEN_W = 6       # w-dot terms: r0, dr, m0, r0^2, r0*dr, dr^2
 N_SCREEN_C = 3       # [mw|w]-dot terms: rss0 part, b1 part, b2 part
 
 
+def screen_score_from_sums(A01, A02, Bm0, A11, A12, A22, RS, b1r, b2,
+                           a00, C0, q0, plx, plxw, cfg: FitConfig):
+    """Screening score from the 9 per-(star, model) bilinear sums.
+
+    Solves the clamped direct 3x3 WLS system of `(mu-offset, Av,
+    Av*Rv)` (the Av term carries its Gaussian prior) and evaluates the
+    chi2 of the clamped solution via the quadratic-form expansion of
+    the explicit residual, plus the parallax chi2 at the implied flux
+    scale — the exact ranking quantity of the reference's init-
+    threshold cull (`brutus/fitting.py:743-768`).  Shared by the MXU
+    screening kernel (`_make_screen_kernel`) and the plain-XLA funnel
+    (`ops.screen_xla`): pure jnp ops on broadcastable arrays.
+
+    Inputs: `A01..A22` the weight-contracted model sums
+    (`sum w r0`, `sum w dr`, `sum w m0`, `sum w r0^2`, `sum w r0 dr`,
+    `sum w dr^2`), `RS/b1r/b2` the folded data sums
+    (`sum w (-2 m m0 + m0^2)`, `sum w (m - m0) r0`,
+    `sum w (m - m0) dr`) with magnitudes centered by
+    `SCREEN_MAG_CENTER`; `a00/C0/q0` the star-only scalars
+    (`sum w`, `sum w m`, `sum w m^2`); `plx/plxw` the parallax mean
+    and weight (0 when absent).  Returns `-chi2/2`.
+    """
+    avm, av_sig = cfg.av_gauss
+    rvm, _ = cfg.rv_gauss
+    avvi = 1.0 / av_sig ** 2
+    avmin, avmax = cfg.avlim
+    rvmin, rvmax = cfg.rvlim
+
+    # Normal equations carry the Av Gaussian prior; the chi2
+    # expansion below uses the RAW sums (explicit residuals).
+    b0 = C0 - Bm0                  # sum w resid0
+    b1 = b1r + avm * avvi
+    a11 = A11 + avvi
+    det = (a00 * (a11 * A22 - A12 * A12)
+           - A01 * (A01 * A22 - A12 * A02)
+           + A02 * (A01 * A12 - a11 * A02))
+    det1 = (a00 * (b1 * A22 - A12 * b2)
+            - b0 * (A01 * A22 - A12 * A02)
+            + A02 * (A01 * b2 - b1 * A02))
+    det2 = (a00 * (a11 * b2 - b1 * A12)
+            - A01 * (A01 * b2 - b1 * A02)
+            + b0 * (A01 * A12 - a11 * A02))
+    safe_det = jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+    av = jnp.clip(det1 / safe_det, avmin, avmax)
+    avrv = det2 / safe_det
+    rv = jnp.where(jnp.abs(av) > 1e-10,
+                   avrv / jnp.where(jnp.abs(av) > 1e-10, av, 1.0),
+                   rvm)
+    rv = jnp.clip(rv, rvmin, rvmax)
+    avrv = av * rv
+    # Re-solve the (linear, unbounded) mu offset at the clamped
+    # (Av, Av*Rv), then score on the quadratic-form expansion of
+    # the explicit-residual chi2:
+    #   r = resid0 - u - av r0 - avrv dr;  chi2 = sum w r^2.
+    u = (b0 - av * A01 - avrv * A02) / a00
+    rss0 = q0 + RS                 # sum w resid0^2
+    chi2 = (rss0 + u * u * a00 + av * av * A11 + avrv * avrv * A22
+            - 2.0 * (u * b0 + av * b1r + avrv * b2)
+            + 2.0 * (u * av * A01 + u * avrv * A02
+                     + av * avrv * A12))
+    # Parallax chi2 at the implied flux scale s = 10**(-0.4 mu)
+    # (the centering shift cancels inside resid0, so u is the true
+    # mu offset; reference fitting.py:752-768).  plxw is 0 when no
+    # parallax is given.
+    par = jnp.exp(-0.2 * LN10 * u)
+    chi2 = chi2 + (par - plx) ** 2 * plxw
+    return -0.5 * chi2
+
+
 def _split3(x):
     """3-way bf16 split: `x == h + m + l` to full f32 precision.
 
@@ -338,12 +407,6 @@ def _make_screen_kernel(cfg: FitConfig, n_g, sblock):
     column-concatenated tables ((B,48)@(48,6T) + (B,96)@(96,3T) per
     tile instead of 12 narrow dots), amortizing MXU fill/dispatch.
     """
-    avm, av_sig = cfg.av_gauss
-    rvm, _ = cfg.rv_gauss
-    avvi = 1.0 / av_sig ** 2
-    avmin, avmax = cfg.avlim
-    rvmin, rvmax = cfg.rvlim
-
     def kernel(wb_ref, cb_ref, srow_ref, maskrow_ref, tabw_ref,
                tabc_ref, score_ref):
         # wb: (n_g, B, 48) bf16 packed weight splits ([h h h m m l]
@@ -383,51 +446,17 @@ def _make_screen_kernel(cfg: FitConfig, n_g, sblock):
         plx = srow_ref[:, 3:4]
         plxw = srow_ref[:, 4:5]
 
-        # Normal equations carry the Av Gaussian prior; the chi2
-        # expansion below uses the RAW sums (explicit residuals).
-        b0 = C0 - Bm0                  # sum w resid0
-        b1 = b1r + avm * avvi
-        a11 = A11 + avvi
-        det = (a00 * (a11 * A22 - A12 * A12)
-               - A01 * (A01 * A22 - A12 * A02)
-               + A02 * (A01 * A12 - a11 * A02))
-        det1 = (a00 * (b1 * A22 - A12 * b2)
-                - b0 * (A01 * A22 - A12 * A02)
-                + A02 * (A01 * b2 - b1 * A02))
-        det2 = (a00 * (a11 * b2 - b1 * A12)
-                - A01 * (A01 * b2 - b1 * A02)
-                + b0 * (A01 * A12 - a11 * A02))
-        safe_det = jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
-        av = jnp.clip(det1 / safe_det, avmin, avmax)
-        avrv = det2 / safe_det
-        rv = jnp.where(jnp.abs(av) > 1e-10,
-                       avrv / jnp.where(jnp.abs(av) > 1e-10, av, 1.0),
-                       rvm)
-        rv = jnp.clip(rv, rvmin, rvmax)
-        avrv = av * rv
-        # Re-solve the (linear, unbounded) mu offset at the clamped
-        # (Av, Av*Rv), then score on the quadratic-form expansion of
-        # the explicit-residual chi2:
-        #   r = resid0 - u - av r0 - avrv dr;  chi2 = sum w r^2.
-        u = (b0 - av * A01 - avrv * A02) / a00
-        rss0 = q0 + RS                 # sum w resid0^2
-        chi2 = (rss0 + u * u * a00 + av * av * A11 + avrv * avrv * A22
-                - 2.0 * (u * b0 + av * b1r + avrv * b2)
-                + 2.0 * (u * av * A01 + u * avrv * A02
-                         + av * avrv * A12))
-        # Parallax chi2 at the implied flux scale s = 10**(-0.4 mu)
-        # (the centering shift cancels inside resid0, so u is the true
-        # mu offset; reference fitting.py:752-768).  plxw is 0 when no
-        # parallax is given.
-        par = jnp.exp(-0.2 * LN10 * u)
-        chi2 = chi2 + (par - plx) ** 2 * plxw
+        # Clamped direct 3x3 solve + explicit-residual chi2 + parallax
+        # (shared with the plain-XLA funnel, `ops.screen_xla`).
         # maskrow kills the tile-padding models (-1e30 on padded
         # lanes); emit only the per-sblock maxima (all that block
         # selection reads) — the raw (B, M) score plane never leaves
         # VMEM.  The output carries the tile index as a LEADING axis
         # ((num_tiles, B, tile//sblock)) because a (B, tile//sblock)
         # lane-minor block would violate the 128-lane block quantum.
-        score = -0.5 * chi2 + maskrow_ref[:, :]
+        score = screen_score_from_sums(A01, A02, Bm0, A11, A12, A22,
+                                       RS, b1r, b2, a00, C0, q0,
+                                       plx, plxw, cfg) + maskrow_ref[:, :]
         Bk, T = score.shape
         score_ref[0] = jnp.max(score.reshape(Bk, T // sblock, sblock),
                                axis=-1)
