@@ -218,6 +218,19 @@ def _prior_transform_jax(u, rlims, dlims, pb_params, s_params,
     return pb, s0, s, fg, dists, creds
 
 
+def _theta_from_u(kept_u, rlims, dlims, pbp, ssp, dust_template, nlims):
+    """Bulk unit-cube -> theta transform (device, batched): the same
+    math as `LOS_clouds_priortransform`, applied to a whole chain at
+    once, returning the reference's theta layout
+    `[pb, s0, s, fg_red, d1, r1, d2, r2, ...]`."""
+    pb, s0, s, fg, dists, creds = _prior_transform_jax(
+        jnp.clip(jnp.asarray(kept_u), 1e-6, 1 - 1e-6),
+        rlims, dlims, pbp, ssp, dust_template, nlims)
+    dr = jnp.stack([dists, creds], axis=-1).reshape(*dists.shape[:-1], -1)
+    return np.asarray(jnp.concatenate(
+        [jnp.stack([pb, s0, s, fg], axis=-1), dr], axis=-1))
+
+
 def fit_clouds(dsamps, rsamps, n_clouds, kernel="gauss",
                rlims=(0.0, 6.0), dlims=(4.0, 19.0),
                pb_params=(-3.0, 0.7, -np.inf, 0.0),
@@ -225,26 +238,33 @@ def fit_clouds(dsamps, rsamps, n_clouds, kernel="gauss",
                template_reds=None, additive_foreground=False,
                monotonic=True, Ndraws=25,
                n_walkers=64, n_steps=1500, n_burn=750, stretch_a=2.0,
-               seed=0):
+               seed=0, max_samples=4000, return_chain=False):
     """Fit the N-cloud LOS extinction model with a TPU-native sampler.
 
     The reference drives `LOS_clouds_loglike_samples` with an external
     nested sampler (dynesty, `demos/Overview 4`); this is a
-    self-contained replacement: an affine-invariant ensemble MCMC
-    (Goodman & Weare stretch moves, emcee's algorithm) running
-    **fully jitted** on device — all walkers' likelihoods evaluate as
-    one dense `(walkers, clouds, stars, draws)` block per step, and
-    the whole chain is a `lax.scan`.  Sampling happens in the prior
-    unit cube (the prior transform maps to parameters, so the uniform
-    cube measure reproduces the reference's priors exactly);
-    out-of-cube proposals and non-monotonic reddening profiles are
-    rejected, mirroring the reference's rejection at `los.py:200-203`.
+    self-contained replacement built on the shared ensemble sampler
+    (`brutus_tpu.sampling`): all walkers' likelihoods evaluate as one
+    dense `(walkers, clouds, stars, draws)` block per step, and the
+    whole chain is a `lax.scan`.  Sampling happens in the prior unit
+    cube (the prior transform maps to parameters, so the uniform cube
+    measure reproduces the reference's priors exactly); out-of-cube
+    proposals and non-monotonic reddening profiles are rejected,
+    mirroring the reference's rejection at `los.py:200-203`.
 
     Parameters
     ----------
     dsamps, rsamps : (Nobj, >=Ndraws) per-star posterior draws of
         distance modulus and reddening (from `BruteForce.fit`).
     n_clouds : number of clouds.
+    max_samples : int
+        `samples` is thinned (evenly) to at most this many rows; pass
+        `0`/`None` for no thinning, or use `return_chain=True` for the
+        full walker-resolved chain.
+    return_chain : bool
+        Also return `chain (n_steps - n_burn, n_walkers, ndim)` — the
+        full unthinned post-burn chain in theta space — plus
+        `chain_logl`.
     Other knobs mirror `LOS_clouds_priortransform` /
     `LOS_clouds_loglike_samples`.
 
@@ -252,11 +272,16 @@ def fit_clouds(dsamps, rsamps, n_clouds, kernel="gauss",
     -------
     dict with `samples (n_kept, ndim)` in the reference's theta layout
     `[pb, s0, s, fg_red, d1, r1, d2, r2, ...]`, `logl (n_kept,)`,
-    `acceptance` (mean rate), and `map_theta`.
+    `map_theta`, and convergence diagnostics: `acceptance` (mean
+    rate), per-parameter `tau` (integrated autocorrelation time),
+    `ess` (effective sample size), and split-chain `rhat`
+    (`brutus_tpu.sampling.chain_diagnostics`; rhat > ~1.05 means the
+    chain has not mixed — raise `n_steps`).
     """
+    from .sampling import ensemble_sample, chain_diagnostics
+
     if kernel not in _KERNELS:
         raise ValueError(f"invalid kernel {kernel!r}")
-    kern = _KERNELS[kernel]
     area = rlims[1] - rlims[0]
     ndim = 4 + 2 * n_clouds
     dust_template = template_reds is not None
@@ -269,7 +294,7 @@ def fit_clouds(dsamps, rsamps, n_clouds, kernel="gauss",
     pbp = tuple(float(x) for x in pb_params)
     ssp = tuple(float(x) for x in s_params)
 
-    def logpost(u):
+    def logpost(u, ds, rs):
         """(W, ndim) unit-cube positions -> (W,) log-posteriors."""
         inb = jnp.all((u > 0.0) & (u < 1.0), axis=-1)
         uc = jnp.clip(u, 1e-6, 1.0 - 1e-6)
@@ -291,58 +316,31 @@ def fit_clouds(dsamps, rsamps, n_clouds, kernel="gauss",
             ll = jnp.where(mono, ll, -jnp.inf)
         return jnp.where(inb, ll, -jnp.inf)
 
-    W = n_walkers
-    half = W // 2
-    key = jax.random.PRNGKey(seed)
-    key, k0 = jax.random.split(key)
-    u0 = jax.random.uniform(k0, (W, ndim), jnp.float32, 0.02, 0.98)
-    lp0 = logpost(u0)
+    run = ensemble_sample(logpost, ndim, n_walkers=n_walkers,
+                          n_steps=n_steps, stretch_a=stretch_a,
+                          seed=seed, logpost_args=(ds, rs))
+    chain_u = np.asarray(run["chain"][n_burn:])
+    chain_lp = np.asarray(run["logp"][n_burn:])
+    diag = chain_diagnostics(chain_u, accept=run["accept"][n_burn:])
 
-    def half_step(u, lp, active, key):
-        """Stretch-move update of `active` walkers vs the complement."""
-        ka, kz, ku = jax.random.split(key, 3)
-        # Partner from the OTHER half: walkers [0, half) draw from
-        # [half, W) and vice versa (Goodman & Weare parallel variant).
-        j = jax.random.randint(ka, (W,), 0, half)
-        idx = jnp.where(jnp.arange(W) < half, half + j, j)
-        partners = u[idx]
-        zu = jax.random.uniform(kz, (W,), jnp.float32)
-        z = ((stretch_a - 1.0) * zu + 1.0) ** 2 / stretch_a
-        prop = partners + z[:, None] * (u - partners)
-        lp_prop = logpost(prop)
-        ln_acc = (ndim - 1) * jnp.log(z) + lp_prop - lp
-        accept = (jnp.log(jax.random.uniform(ku, (W,), jnp.float32))
-                  < ln_acc) & active
-        u = jnp.where(accept[:, None], prop, u)
-        lp = jnp.where(accept, lp_prop, lp)
-        return u, lp, accept
-
-    def step(carry, key):
-        u, lp = carry
-        k1, k2 = jax.random.split(key)
-        first = jnp.arange(W) < half
-        u, lp, acc1 = half_step(u, lp, first, k1)
-        u, lp, acc2 = half_step(u, lp, ~first, k2)
-        return (u, lp), (u, lp, acc1 | acc2)
-
-    keys = jax.random.split(key, n_steps)
-    (_, _), (chain_u, chain_lp, accs) = jax.lax.scan(
-        step, (u0, lp0), keys)
-
-    kept_u = np.asarray(chain_u[n_burn:]).reshape(-1, ndim)
-    kept_lp = np.asarray(chain_lp[n_burn:]).reshape(-1)
+    kept_u = chain_u.reshape(-1, ndim)
+    kept_lp = chain_lp.reshape(-1)
     finite = np.isfinite(kept_lp)
     kept_u, kept_lp = kept_u[finite], kept_lp[finite]
-    thetas = np.stack(
-        [LOS_clouds_priortransform(
-            np.clip(uu, 1e-6, 1 - 1e-6), rlims=rlims, dlims=dlims,
-            pb_params=pb_params, s_params=s_params,
-            dust_template=dust_template, nlims=nlims)
-         for uu in kept_u[:: max(1, len(kept_u) // 4000)]])
-    kept_lp = kept_lp[:: max(1, len(kept_u) // 4000)]
-    return dict(samples=thetas, logl=kept_lp,
-                acceptance=float(np.asarray(accs).mean()),
-                map_theta=thetas[np.argmax(kept_lp)])
+    stride = (max(1, len(kept_u) // max_samples) if max_samples
+              else 1)
+    thetas = _theta_from_u(kept_u[::stride], rlims, dlims, pbp, ssp,
+                           dust_template, nlims)
+    kept_lp = kept_lp[::stride]
+    out = dict(samples=thetas, logl=kept_lp,
+               map_theta=thetas[np.argmax(kept_lp)],
+               acceptance=diag["acceptance"], tau=diag["tau"],
+               ess=diag["ess"], rhat=diag["rhat"])
+    if return_chain:
+        out["chain"] = _theta_from_u(chain_u, rlims, dlims, pbp, ssp,
+                                     dust_template, nlims)
+        out["chain_logl"] = chain_lp
+    return out
 
 
 __all__ = ["LOS_clouds_priortransform", "LOS_clouds_loglike_samples",

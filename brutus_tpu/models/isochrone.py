@@ -9,6 +9,7 @@ including unresolved binaries parameterized by secondary mass fraction.
 """
 
 import sys
+from collections import namedtuple
 
 import numpy as np
 import h5py
@@ -16,11 +17,120 @@ import jax.numpy as jnp
 
 from ..utils import add_mag
 from ..ops.interp import interpn
-from .nn import FastNNPredictor
+from .nn import FastNNPredictor, sed_params
 from .tracks import empirical_corrections
 
 DEFAULT_PREDICTIONS = ["mini", "mass", "logl", "logt", "logr", "logg",
                        "feh_surf", "afe_surf"]
+
+# Static prediction-column indices threaded through the jitted
+# pure-function path (hashable, so it can ride static_argnames).
+IsoIdx = namedtuple("IsoIdx", ["logt", "logl", "logg", "feh_surf",
+                               "afe_surf", "mini"])
+
+
+def iso_predictions(xgrid, ygrid, idx, eep, feh, afe, loga,
+                    corr_params=None, apply_corr=True):
+    """Pure-function isochrone predictions (jit-friendly: the grid
+    tables ride as *arguments*, never closure constants).
+
+    Parameters
+    ----------
+    xgrid : tuple of 4 grid vectors `(feh, afe, loga, eep)`.
+    ygrid : (..., Neep_grid, Npred) prediction table.
+    idx : `IsoIdx` static column indices.
+    eep : (...,) query EEPs; `feh/afe/loga` broadcast against it.
+
+    Returns `(..., Npred)` predictions with the empirical Teff/radius
+    corrections applied (reference `brutus/seds.py:1218-1358`).
+    """
+    eep = jnp.asarray(eep, float)
+    feh_v = jnp.broadcast_to(jnp.asarray(feh, float), eep.shape)
+    afe_v = jnp.broadcast_to(jnp.asarray(afe, float), eep.shape)
+    loga_v = jnp.broadcast_to(jnp.asarray(loga, float), eep.shape)
+    labels = jnp.stack([feh_v, afe_v, loga_v, eep], axis=-1)
+    preds = interpn(xgrid, ygrid, labels)
+    if apply_corr:
+        mini = preds[..., idx.mini]
+        dlogt, dlogr = empirical_corrections(mini, eep, feh_v, corr_params)
+        preds = preds.at[..., idx.logt].add(dlogt)
+        preds = preds.at[..., idx.logl].add(2.0 * dlogr)
+        preds = preds.at[..., idx.logg].add(-2.0 * dlogr)
+    return preds
+
+
+def _nn_sed(nn_params, idx, preds, av, rv, dist, mini_bound):
+    """SED from a prediction vector via the BC networks; NaN below the
+    `mini_bound` mass cut."""
+    sed = sed_params(nn_params,
+                     logt=preds[..., idx.logt], logg=preds[..., idx.logg],
+                     feh_surf=preds[..., idx.feh_surf],
+                     afe=preds[..., idx.afe_surf],
+                     logl=preds[..., idx.logl], av=av, rv=rv, dist=dist)
+    ok = preds[..., idx.mini] >= mini_bound
+    return jnp.where(ok[..., None], sed, jnp.nan)
+
+
+def population_seds_multi(xgrid, ygrid, nn_params, idx, eep, feh, afe,
+                          loga, av, rv, dist, smf_vals, mini_bound,
+                          eep_binary_max, corr_params=None):
+    """Co-eval population SEDs at every EEP for EVERY secondary mass
+    fraction in `smf_vals` — one device program.
+
+    The reference regenerates the isochrone per smf in a Python loop
+    (`brutus/cluster.py:336-344`); here the primary is interpolated and
+    NN-evaluated once, and all binary smf values share one batched
+    secondary pass (`(Nsmf_bin, Neep)` stacked interpolation + NN), so
+    a jitted cluster-likelihood evaluation is a single XLA program.
+
+    Parameters
+    ----------
+    smf_vals : static tuple of floats (0 = single star, 1 = equal-mass
+        doubling on the main sequence, else mass-fraction binaries —
+        reference `brutus/seds.py:1464-1496`).
+
+    Returns
+    -------
+    seds : (Nsmf, Neep, Nfilt) apparent magnitudes (NaN = invalid).
+    mini : (Neep,) primary initial masses (the IMF-measure axis).
+    """
+    eep = jnp.asarray(eep, float)
+    params = iso_predictions(xgrid, ygrid, idx, eep, feh, afe, loga,
+                             corr_params)
+    mini = params[:, idx.mini]
+    sed1 = _nn_sed(nn_params, idx, params, av, rv, dist, mini_bound)
+
+    bin_smfs = tuple(s for s in smf_vals if 0.0 < s < 1.0)
+    seds_bin = None
+    if bin_smfs:
+        # Invert the monotone mini(eep) relation once; all binary smf
+        # values query it together (reference seds.py:1467-1478).
+        good = jnp.isfinite(mini)
+        mini_sorted = jnp.where(good, mini, jnp.inf)
+        order = jnp.argsort(mini_sorted)
+        mg, eg = mini_sorted[order], eep[order]
+        smf_arr = jnp.asarray(bin_smfs, float)[:, None]    # (Nb, 1)
+        eep2 = jnp.interp(mini[None] * smf_arr, mg, eg,
+                          left=jnp.nan, right=jnp.nan)     # (Nb, Neep)
+        eep2 = jnp.where((eep2 > eep_binary_max)
+                         | (eep[None] > eep_binary_max), jnp.nan, eep2)
+        params2 = iso_predictions(xgrid, ygrid, idx, eep2, feh, afe,
+                                  loga, corr_params)
+        sed2 = _nn_sed(nn_params, idx, params2, av, rv, dist, mini_bound)
+        seds_bin = add_mag(sed1[None], sed2)               # (Nb, Neep, F)
+
+    out, k = [], 0
+    for smf in smf_vals:
+        if smf == 0.0:
+            out.append(sed1)
+        elif smf == 1.0:
+            boost = jnp.where((eep <= eep_binary_max)[:, None],
+                              2.5 * jnp.log10(2.0), 0.0)
+            out.append(sed1 - boost)
+        else:
+            out.append(seds_bin[k])
+            k += 1
+    return jnp.stack(out), mini
 
 
 class Isochrone:
@@ -90,6 +200,19 @@ class Isochrone:
         self.FNNP = FastNNPredictor(filters=filters, nnfile=nnfile,
                                     verbose=verbose)
 
+    @property
+    def iso_idx(self):
+        """Static `IsoIdx` for the pure-function path
+        (`iso_predictions` / `population_seds_multi`)."""
+        return IsoIdx(self.logt_idx, self.logl_idx, self.logg_idx,
+                      self.feh_surf_idx, self.afe_surf_idx, self.mini_idx)
+
+    @property
+    def tables(self):
+        """Device tables `(xgrid, ygrid, nn_params)` for jitted callers
+        (pass as jit *arguments*, never closure constants)."""
+        return (self.xgrid, self.ygrid, self.FNNP.params)
+
     # -- predictions (parity: reference seds.py:1218-1358) -----------------
 
     def get_predictions(self, feh=0.0, afe=0.0, loga=8.5, eep=None,
@@ -100,20 +223,9 @@ class Isochrone:
         """
         if eep is None:
             eep = self.eep_u
-        eep = jnp.asarray(eep, float)
-        feh_v = jnp.full_like(eep, feh)
-        afe_v = jnp.full_like(eep, afe)
-        loga_v = jnp.full_like(eep, loga)
-        labels = jnp.stack([feh_v, afe_v, loga_v, eep], axis=-1)
-        preds = interpn(self.xgrid, self.ygrid, labels)
-        if apply_corr:
-            mini = preds[..., self.mini_idx]
-            dlogt, dlogr = empirical_corrections(mini, eep, feh_v,
-                                                 corr_params)
-            preds = preds.at[..., self.logt_idx].add(dlogt)
-            preds = preds.at[..., self.logl_idx].add(2.0 * dlogr)
-            preds = preds.at[..., self.logg_idx].add(-2.0 * dlogr)
-        return preds
+        return iso_predictions(self.xgrid, self.ygrid, self.iso_idx,
+                               eep, feh, afe, loga, corr_params,
+                               apply_corr=apply_corr)
 
     def get_corrections(self, mini=1.0, feh=0.0, eep=350.0,
                         corr_params=None):
@@ -203,4 +315,5 @@ def write_isochrone_file(path, feh_grid, afe_grid, loga_grid, eep_grid,
         d.attrs["labels"] = [np.bytes_(s) for s in pred_labels]
 
 
-__all__ = ["Isochrone", "write_isochrone_file", "DEFAULT_PREDICTIONS"]
+__all__ = ["Isochrone", "write_isochrone_file", "DEFAULT_PREDICTIONS",
+           "IsoIdx", "iso_predictions", "population_seds_multi"]

@@ -18,6 +18,45 @@ import jax
 import jax.numpy as jnp
 
 
+def nneval_params(params, x):
+    """Pure-function form of `FastNN.nneval`: evaluate the stacked
+    per-filter MLPs at `x (..., 6)` given the weight pytree
+    `params = (w1, b1, w2, b2, w3, b3, xmin, xmax)`.
+
+    Kept free of `self` so jitted callers (the cluster likelihood
+    core, `cluster._cluster_core`) can pass the weights as jit
+    *arguments* instead of closure-captured XLA constants.
+    """
+    w1, b1, w2, b2, w3, b3, xmin, xmax = params
+    x = jnp.asarray(x)
+    xe = (x - xmin) / (xmax - xmin)
+    # Precision.HIGHEST: at default precision the TPU MXU truncates
+    # f32 einsum operands to bf16 (~0.4% relative), i.e. ~0.02-0.04
+    # mag of noise in the generated SEDs.
+    hi = jax.lax.Precision.HIGHEST
+    a1 = jax.nn.sigmoid(
+        jnp.einsum("fho,...o->...fh", w1, xe, precision=hi) + b1)
+    a2 = jax.nn.sigmoid(
+        jnp.einsum("fgh,...fh->...fg", w2, a1, precision=hi) + b2)
+    y = jnp.einsum("fog,...fg->...fo", w3, a2, precision=hi)[..., 0] + b3
+    ok = jnp.all(jnp.isfinite(x) & (x >= xmin) & (x <= xmax), axis=-1)
+    return jnp.where(ok[..., None], y, jnp.nan)
+
+
+def sed_params(params, logt, logg, feh_surf, afe, logl, av, rv, dist):
+    """Pure-function form of `FastNNPredictor.sed`: apparent magnitudes
+    `m = -2.5 log L + 4.74 - BC + mu(dist)` (reference
+    `brutus/seds.py:1072-1073`); every argument broadcasts."""
+    args = jnp.broadcast_arrays(*[jnp.asarray(a, jnp.result_type(float))
+                                  for a in (logt, logg, feh_surf, afe,
+                                            av, rv, logl, dist)])
+    logt, logg, feh_surf, afe, av, rv, logl, dist = args
+    mu = 5.0 * jnp.log10(dist) - 5.0
+    x = jnp.stack([10.0 ** logt, logg, feh_surf, afe, av, rv], axis=-1)
+    bc = nneval_params(params, x)
+    return (-2.5 * logl + 4.74)[..., None] - bc + mu[..., None]
+
+
 class FastNN:
     """Stacked per-filter MLPs over encoded stellar/extinction inputs."""
 
@@ -57,6 +96,13 @@ class FastNN:
             else jnp.asarray(b3)[..., 0]
         self.NFILT = len(self.filters)
 
+    @property
+    def params(self):
+        """Weight pytree for the pure-function eval path
+        (`nneval_params` / `sed_params`)."""
+        return (self.w1, self.b1, self.w2, self.b2, self.w3, self.b3,
+                self.xmin, self.xmax)
+
     def encode(self, x):
         """Min-max rescale inputs (reference `brutus/seds.py:919-940`)."""
         return (x - self.xmin) / self.xspan
@@ -68,24 +114,7 @@ class FastNN:
         input falls outside the trained range (the reference's
         out-of-bounds guard, `brutus/seds.py:1067-1076`).
         """
-        x = jnp.asarray(x)
-        xe = self.encode(x)
-        # Precision.HIGHEST: at default precision the TPU MXU
-        # truncates f32 einsum operands to bf16 (~0.4% relative),
-        # i.e. ~0.02-0.04 mag of noise in the generated grids; these
-        # einsums are a negligible share of grid-generation time.
-        hi = jax.lax.Precision.HIGHEST
-        a1 = jax.nn.sigmoid(
-            jnp.einsum("fho,...o->...fh", self.w1, xe,
-                       precision=hi) + self.b1)
-        a2 = jax.nn.sigmoid(
-            jnp.einsum("fgh,...fh->...fg", self.w2, a1,
-                       precision=hi) + self.b2)
-        y = jnp.einsum("fog,...fg->...fo", self.w3, a2,
-                       precision=hi)[..., 0] + self.b3
-        ok = jnp.all(jnp.isfinite(x) & (x >= self.xmin) & (x <= self.xmax),
-                     axis=-1)
-        return jnp.where(ok[..., None], y, jnp.nan)
+        return nneval_params(self.params, x)
 
 
 class FastNNPredictor(FastNN):
@@ -101,14 +130,8 @@ class FastNNPredictor(FastNN):
 
         Returns (..., NFILT) apparent magnitudes (NaN out of bounds).
         """
-        args = jnp.broadcast_arrays(*[jnp.asarray(a, jnp.result_type(
-            float)) for a in (logt, logg, feh_surf, afe, av, rv,
-                              logl, dist)])
-        logt, logg, feh_surf, afe, av, rv, logl, dist = args
-        mu = 5.0 * jnp.log10(dist) - 5.0
-        x = jnp.stack([10.0 ** logt, logg, feh_surf, afe, av, rv], axis=-1)
-        bc = self.nneval(x)
-        m = (-2.5 * logl + 4.74)[..., None] - bc + mu[..., None]
+        m = sed_params(self.params, logt, logg, feh_surf, afe, logl,
+                       av, rv, dist)
         return m[..., filt_idxs]
 
 
@@ -127,4 +150,5 @@ def write_nn_file(path, filters, w1, b1, w2, b2, w3, b3, xmin, xmax):
             g.create_dataset("xmax", data=xmax)
 
 
-__all__ = ["FastNN", "FastNNPredictor", "write_nn_file"]
+__all__ = ["FastNN", "FastNNPredictor", "write_nn_file",
+           "nneval_params", "sed_params"]

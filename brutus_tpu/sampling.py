@@ -1,0 +1,178 @@
+"""
+TPU-native affine-invariant ensemble MCMC (Goodman & Weare stretch
+moves) with convergence diagnostics.
+
+The reference package exposes its science applications (line-of-sight
+extinction, cluster isochrone fitting) as plain log-likelihood /
+prior-transform callables meant to be driven by an *external* sampler
+(dynesty; reference `brutus/los.py:27-33` "Used in nested sampling
+methods", demos "Overview 4/5").  dynesty's per-call Python overhead
+would strand a TPU at ~0% utilization, so this module provides the
+built-in replacement shared by `los.fit_clouds` and
+`cluster.fit_cluster`: all walkers' likelihoods evaluate as one dense
+device program per step and the whole chain is a `lax.scan` — the host
+is touched exactly twice (launch, fetch).
+
+Diagnostics (host-side, post-hoc): per-parameter integrated
+autocorrelation time (emcee's FFT method averaged over walkers with a
+Sokal window), effective sample size, and split-chain R-hat — the
+adaptive-stopping information nested sampling provided in the
+reference's workflow.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def ensemble_sample(logpost, ndim, n_walkers=64, n_steps=1500,
+                    stretch_a=2.0, seed=0, init=None,
+                    logpost_args=()):
+    """Run a jitted stretch-move ensemble sampler.
+
+    Parameters
+    ----------
+    logpost : callable `(u (W, ndim), *logpost_args) -> (W,)`
+        Jittable batched log-posterior.  Out-of-support positions must
+        return `-inf` (proposals landing there are rejected).
+    ndim : int
+        Parameter-space dimension.
+    n_walkers : int
+        Ensemble size (must be even; the parallel-update variant
+        splits it into two half-ensembles).
+    n_steps : int
+        Full ensemble updates to run.
+    stretch_a : float
+        Stretch-move scale parameter `a` (Goodman & Weare 2010).
+    seed : int or PRNG key
+        Sampling key.
+    init : (W, ndim) array, optional
+        Initial walker positions.  Defaults to uniform in
+        `(0.02, 0.98)^ndim` — the unit-cube convention used with prior
+        transforms.
+    logpost_args : tuple
+        Extra arrays passed through to `logpost` as jit *arguments*
+        (never close over large arrays: they compile as XLA
+        constants).
+
+    Returns
+    -------
+    dict with device arrays
+      `chain (n_steps, W, ndim)`, `logp (n_steps, W)`,
+      `accept (n_steps, W)` bool.
+    """
+    if n_walkers % 2:
+        raise ValueError("n_walkers must be even")
+    W = n_walkers
+    half = W // 2
+    key = (jax.random.PRNGKey(seed) if np.ndim(seed) == 0
+           else jnp.asarray(seed))
+    key, k0 = jax.random.split(key)
+    if init is None:
+        u0 = jax.random.uniform(k0, (W, ndim), jnp.float32, 0.02, 0.98)
+    else:
+        u0 = jnp.asarray(init, jnp.float32)
+
+    def half_step(u, lp, active, key, args):
+        """Stretch-move update of `active` walkers vs the complement."""
+        ka, kz, ku = jax.random.split(key, 3)
+        # Partner from the OTHER half: walkers [0, half) draw from
+        # [half, W) and vice versa (Goodman & Weare parallel variant).
+        j = jax.random.randint(ka, (W,), 0, half)
+        idx = jnp.where(jnp.arange(W) < half, half + j, j)
+        partners = u[idx]
+        zu = jax.random.uniform(kz, (W,), jnp.float32)
+        z = ((stretch_a - 1.0) * zu + 1.0) ** 2 / stretch_a
+        prop = partners + z[:, None] * (u - partners)
+        lp_prop = logpost(prop, *args)
+        ln_acc = (ndim - 1) * jnp.log(z) + lp_prop - lp
+        accept = (jnp.log(jax.random.uniform(ku, (W,), jnp.float32))
+                  < ln_acc) & active
+        u = jnp.where(accept[:, None], prop, u)
+        lp = jnp.where(accept, lp_prop, lp)
+        return u, lp, accept
+
+    @jax.jit
+    def run(u0, key, *args):
+        lp0 = logpost(u0, *args)
+
+        def step(carry, key):
+            u, lp = carry
+            k1, k2 = jax.random.split(key)
+            first = jnp.arange(W) < half
+            u, lp, acc1 = half_step(u, lp, first, k1, args)
+            u, lp, acc2 = half_step(u, lp, ~first, k2, args)
+            return (u, lp), (u, lp, acc1 | acc2)
+
+        keys = jax.random.split(key, n_steps)
+        (_, _), (chain, logp, accs) = lax.scan(step, (u0, lp0), keys)
+        return chain, logp, accs
+
+    chain, logp, accs = run(u0, key, *logpost_args)
+    return dict(chain=chain, logp=logp, accept=accs)
+
+
+def integrated_autocorr_time(x, c=5.0):
+    """Per-parameter integrated autocorrelation time of an ensemble
+    chain `x (n_steps, n_walkers, ndim)` — emcee's method: the
+    autocorrelation function estimated per walker by FFT, averaged
+    over walkers, integrated with Sokal's adaptive window
+    (`tau = 1 + 2 sum rho(t)`, truncated at the first `M >= c*tau(M)`).
+
+    Returns `tau (ndim,)`; `n_steps` shorter than a few tau gives a
+    (flagged-by-R-hat) underestimate, as usual.
+    """
+    x = np.asarray(x, np.float64)
+    n, w, d = x.shape
+    nfft = 1 << (2 * n - 1).bit_length()
+    xc = x - x.mean(axis=0, keepdims=True)
+    f = np.fft.rfft(xc, n=nfft, axis=0)
+    acf = np.fft.irfft(f * np.conjugate(f), n=nfft, axis=0)[:n]
+    acf /= np.maximum(acf[0:1], 1e-300)          # normalize per (w, d)
+    rho = acf.mean(axis=1)                       # (n, d) walker-avg
+    tau = np.empty(d)
+    for k in range(d):
+        cumsum = 2.0 * np.cumsum(rho[:, k]) - 1.0
+        window = np.arange(n) < c * cumsum
+        m = np.argmin(window) if not window.all() else n - 1
+        tau[k] = cumsum[min(m, n - 1)]
+    return np.maximum(tau, 1.0)
+
+
+def split_rhat(x):
+    """Per-parameter split-chain Gelman-Rubin R-hat of an ensemble
+    chain `x (n_steps, n_walkers, ndim)`: each walker's chain is split
+    in half (2W sub-chains) and the classic between/within variance
+    ratio computed.  Values near 1 indicate the walkers agree; > ~1.05
+    means the chain has not mixed.
+    """
+    x = np.asarray(x, np.float64)
+    n, w, d = x.shape
+    h = n // 2
+    sub = np.concatenate([x[:h], x[h:2 * h]], axis=1)   # (h, 2w, d)
+    mean_c = sub.mean(axis=0)                            # (2w, d)
+    var_c = sub.var(axis=0, ddof=1)
+    W_ = var_c.mean(axis=0)
+    B = h * mean_c.var(axis=0, ddof=1)
+    var_post = (h - 1) / h * W_ + B / h
+    return np.sqrt(var_post / np.maximum(W_, 1e-300))
+
+
+def chain_diagnostics(chain, accept=None):
+    """Host-side summary for a post-burn ensemble chain
+    `(n_steps, W, ndim)`: integrated autocorrelation time, effective
+    sample size, split R-hat, and mean acceptance rate."""
+    chain = np.asarray(chain)
+    n, w, d = chain.shape
+    tau = integrated_autocorr_time(chain)
+    out = dict(tau=tau, ess=n * w / tau, rhat=split_rhat(chain))
+    if accept is not None:
+        out["acceptance"] = float(np.asarray(accept).mean())
+    return out
+
+
+__all__ = ["ensemble_sample", "integrated_autocorr_time", "split_rhat",
+           "chain_diagnostics"]

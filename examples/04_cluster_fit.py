@@ -14,7 +14,7 @@ import numpy as np
 
 from _synth import FILTERS, make_data_files
 from brutus_tpu.models import Isochrone
-from brutus_tpu.cluster import isochrone_loglike
+from brutus_tpu.cluster import isochrone_loglike  # noqa: F401
 
 paths = make_data_files()
 iso = Isochrone(filters=FILTERS, nnfile=paths["nn"],
@@ -47,3 +47,22 @@ grid = np.array([[loglike(a, d) for d in dists] for a in logas])
 ia, idd = np.unravel_index(np.argmax(grid), grid.shape)
 print(f"best loga={logas[ia]:.3f} (true {true['loga']}), "
       f"dist={dists[idd]:.0f} pc (true {true['dist']:.0f})")
+
+# Full posterior sampling with the built-in TPU-native ensemble
+# sampler (no external dynesty needed): free (feh, loga, av, dist),
+# fixed rv / outlier fraction.
+from brutus_tpu.cluster import fit_cluster
+
+out = fit_cluster(
+    iso, phot, err,
+    parallax=np.full(len(phot), 1e3 / true["dist"]),
+    parallax_err=np.full(len(phot), 0.05),
+    cluster_params=[None, None, None, true["rv"], None, 0.05],
+    smf_grid=np.array([0.0]), eep_grid=eep_grid, mini_bound=0.4,
+    bounds=dict(av=(0.0, 2.0), dist=(600.0, 1500.0)),
+    n_walkers=32, n_steps=1200, n_burn=800, seed=1)
+med = np.median(out["samples"], axis=0)
+print("fit_cluster medians:",
+      {n: round(float(v), 3) for n, v in zip(out["names"], med)},
+      f"acceptance={out['acceptance']:.2f}",
+      f"max rhat={out['rhat'].max():.2f}")

@@ -132,6 +132,63 @@ def test_isochrone_loglike(isofile, nnfile):
     assert tot > ll_p(700.0)[0]
 
 
+def test_fit_cluster_recovers_params(isofile, nnfile):
+    """TPU-native cluster fitter (`cluster.fit_cluster`): recover the
+    injected (feh, loga, av, dist) of a synthetic co-eval cluster with
+    parallaxes, binaries in the smf grid, rv/fout fixed."""
+    from brutus_tpu.models import Isochrone
+    from brutus_tpu.cluster import fit_cluster, isochrone_loglike
+
+    iso = Isochrone(filters=FILTERS, nnfile=nnfile[0], mistfile=isofile,
+                    verbose=False)
+    true = dict(feh=-0.3, loga=9.2, av=0.3, rv=3.3, dist=1000.0)
+    r = np.random.default_rng(5)
+    seds, p1, _ = iso.get_seds(eep=np.linspace(250, 450, 60), **true,
+                               mini_bound=0.4)
+    seds = np.asarray(seds)
+    ok = np.isfinite(seds).all(axis=1)
+    phot = 10 ** (-0.4 * seds[ok][:20])
+    err = phot * 0.02
+    phot = phot + r.normal(size=phot.shape) * err
+    plx = np.full(len(phot), 1.0)           # 1 mas <-> 1000 pc
+    plxe = np.full(len(phot), 0.03)
+
+    eep_grid = np.linspace(202.0, 600.0, 200)
+    smf_grid = np.array([0.0, 0.5, 1.0])    # exercises the binary path
+    out = fit_cluster(
+        iso, phot, err, parallax=plx, parallax_err=plxe,
+        cluster_params=[None, None, None, 3.3, None, 0.05],
+        smf_grid=smf_grid, eep_grid=eep_grid, mini_bound=0.4,
+        bounds=dict(av=(0.0, 2.0), dist=(600.0, 1600.0)),
+        n_walkers=32, n_steps=400, n_burn=250, seed=4)
+
+    assert out["names"] == ["feh", "loga", "av", "dist"]
+    assert 0.05 < out["acceptance"] < 0.95
+    med = np.median(out["samples"], axis=0)
+    assert abs(med[3] - true["dist"]) < 150.0, med          # parallax-pinned
+    assert abs(med[2] - true["av"]) < 0.2, med
+    # feh/loga are near-degenerate on the synthetic fixture; they must
+    # at least stay in-bounds and the MAP must beat a displaced theta.
+    assert -1.0 <= med[0] <= 0.5 and 8.5 <= med[1] <= 10.0
+    tf = out["theta_full"]
+    assert tf["cluster"][3] == 3.3 and tf["cluster"][5] == 0.05
+
+    def ll(feh, loga, av, dist):
+        theta = np.array([feh, loga, av, dist])
+        return isochrone_loglike(
+            theta, iso, phot, err,
+            cluster_params=[None, None, None, 3.3, None, 0.05],
+            smf_grid=smf_grid, eep_grid=eep_grid, mini_bound=0.4,
+            parallax=plx, parallax_err=plxe)
+
+    map_ll = ll(*out["map_theta"])
+    assert map_ll >= ll(true["feh"], true["loga"], true["av"],
+                        true["dist"]) - 2.0
+    assert map_ll > ll(true["feh"], true["loga"], 1.5, true["dist"])
+    # Diagnostics present.
+    assert out["tau"].shape == (4,) and np.isfinite(out["rhat"]).all()
+
+
 # --- photometric offsets --------------------------------------------------
 
 def test_photometric_offsets():
@@ -353,3 +410,48 @@ def test_fit_clouds_recovers_cloud():
     th_off[4] = 6.0
     assert (los.LOS_clouds_loglike_samples(out["map_theta"], ds, rs)
             > los.LOS_clouds_loglike_samples(th_off, ds, rs))
+    # Convergence diagnostics are present and sane.  (rhat is the
+    # honest red flag at these short test settings: the weakly-
+    # identified smoothing dims mix slowly per walker, so only
+    # finiteness is asserted here.)
+    assert out["tau"].shape == (6,) and (out["tau"] >= 1.0).all()
+    assert (out["ess"] > 50).all()
+    assert out["rhat"].shape == (6,) and np.isfinite(out["rhat"]).all()
+    assert (out["rhat"] >= 1.0 - 1e-6).all()
+
+
+@pytest.mark.slow
+def test_fit_clouds_recovers_two_clouds():
+    """Multi-cloud recovery (`los.fit_clouds`, n_clouds=2): two steps
+    (dm=8, dAv=0.8) and (dm=13, dAv=0.7) over a 0.2 foreground, plus
+    the full unthinned chain via `return_chain=True`."""
+    r = np.random.default_rng(7)
+    n_obj, n_samp = 240, 25
+    dm = r.uniform(4, 19, n_obj)
+    av_true = 0.2 + 0.8 * (dm > 8.0) + 0.7 * (dm > 13.0)
+    ds = dm[:, None] + r.normal(0, 0.25, (n_obj, n_samp))
+    rs = av_true[:, None] + r.normal(0, 0.08, (n_obj, n_samp))
+
+    n_steps, n_burn, W = 4000, 2500, 64
+    out = los.fit_clouds(ds, rs, n_clouds=2, n_walkers=W,
+                         n_steps=n_steps, n_burn=n_burn, seed=2,
+                         return_chain=True)
+    samp = out["samples"]
+    assert samp.shape[1] == 8
+    d1, r1 = np.median(samp[:, 4]), np.median(samp[:, 5])
+    d2, r2 = np.median(samp[:, 6]), np.median(samp[:, 7])
+    assert abs(d1 - 8.0) < 1.0, d1
+    assert abs(d2 - 13.0) < 1.0, d2
+    assert abs(r1 - 1.0) < 0.25, r1          # cumulative: 0.2 + 0.8
+    assert abs(r2 - 1.7) < 0.25, r2          # cumulative: + 0.7
+    # Reddenings are monotonically ordered in every sample.
+    assert np.all(np.diff(samp[:, 3::2], axis=1) >= 0)
+    # Full unthinned chain: (n_steps - n_burn, W, ndim) theta space.
+    assert out["chain"].shape == (n_steps - n_burn, W, 8)
+    assert out["chain_logl"].shape == (n_steps - n_burn, W)
+    # Thinned samples are drawn from the same distribution as the
+    # full chain (medians agree).
+    cm = np.median(out["chain"].reshape(-1, 8), axis=0)
+    np.testing.assert_allclose(np.median(samp, axis=0), cm,
+                               rtol=0.05, atol=0.05)
+    assert (out["ess"] > 100).all() and np.isfinite(out["rhat"]).all()
