@@ -358,9 +358,18 @@ def _split3(x):
     HIGHEST`'s exact bf16x6 set; the dropped `ml, lm, ll` terms are
     <= 2^-32 relative, below the f32 rounding of the result).
     """
-    h = x.astype(jnp.bfloat16)
+    # Each bf16 part MUST pass through an optimization barrier before
+    # being upcast for the residual subtraction: XLA-TPU folds the
+    # f32->bf16->f32 convert pair back to the original f32 value
+    # (excess precision is allowed), which turns `x - f32(bf16(x))`
+    # into exactly 0 and silently zeroes the m/l correction parts.
+    # Measured on hardware: the jitted split gave |m| = |l| = 0 and
+    # single-bf16 score noise of +-2-40 chi2 that scrambled the
+    # funnel shortlist (worst-star recall 0.006); the same code run
+    # eagerly, or on CPU, is exact.
+    h = jax.lax.optimization_barrier(x.astype(jnp.bfloat16))
     r = x - h.astype(x.dtype)
-    m = r.astype(jnp.bfloat16)
+    m = jax.lax.optimization_barrier(r.astype(jnp.bfloat16))
     l = (r - m.astype(x.dtype)).astype(jnp.bfloat16)
     return h, m, l
 

@@ -115,29 +115,35 @@ def main():
     print(f"survivors/star: med={np.median(n_surv):.0f} "
           f"max={n_surv.max()}", flush=True)
 
-    # Screening scores once (independent of screen_k / block).
-    scache = os.path.join(_synth.workdir(), f"recall_score_{n_star}.npz")
+    # Screening block scores once at the finest width achievable on
+    # hardware (the v4 screen kernel emits only per-sblock score
+    # MAXIMA, never the raw (B, M) plane, and the funnel clamps
+    # screen_block to >= 128 on TPU for DMA lane alignment); coarser
+    # block widths are maxima of maxima.
+    BASE = 128
+    scache = os.path.join(_synth.workdir(),
+                          f"recall_bscore{BASE}_{n_star}.npz")
     if os.path.exists(scache):
         score = np.load(scache)["score"]
-        print("screen scores: cached", flush=True)
+        print("screen block scores: cached", flush=True)
     else:
         st, packed, names, n_real2, maskrow = prepare_screen(
             mc, aux=dict(lnprior=np.zeros(M, np.float32)), tile=tile)
         score = loglike_grid_screened(
             flux, err, mask, st, packed, maskrow, n_real2,
             parallax=plx, parallax_err=plxe, cfg=cfg, tile=tile,
-            stop_after="screen")
-        score = np.asarray(score)[:n_star]
+            screen_block=BASE, stop_after="screen")
+        score = np.asarray(score)[:n_star]        # (n_star, Mp // BASE)
         np.savez(scache, score=score)
-    Mp = score.shape[1]
 
-    # Block selection swept in NUMPY on the fetched scores (the device
-    # _select_blocks math, re-done on host): a jit per (nb, block)
-    # combo would cost ~30 s of remote compile each.
+    # Block selection swept in NUMPY on the fetched block scores (the
+    # device _select_blocks math, re-done on host): a jit per
+    # (nb, block) combo would cost ~30 s of remote compile each.
     results = []
-    for block in (64, 128, 256, 512):
-        Mb = Mp // block
-        bscore = score[:, :Mb * block].reshape(n_star, Mb, block).max(-1)
+    for block in (128, 256, 512):
+        f = block // BASE
+        Mb = score.shape[1] // f
+        bscore = score[:, :Mb * f].reshape(n_star, Mb, f).max(-1)
         order = np.argsort(-bscore, axis=1)
         for screen_k in (2048, 4096, 8192, 16384, 32768):
             nb = max(1, min(screen_k // block, Mb))
