@@ -786,6 +786,14 @@ class BruteForce:
                 nb = batch_size // n_dev
 
                 def step(*args):
+                    # Returns the per-device output dicts UNMATERIALIZED
+                    # (a list): the batch streamer packs each device's
+                    # results into two matrices and starts their
+                    # device->host copies asynchronously, so all devices
+                    # stream back concurrently while the next batch
+                    # computes — the old `np.asarray` + concat here
+                    # serialized one blocking fetch per (device, key) on
+                    # the host thread.
                     outs = []
                     for i, dev in enumerate(fused_devices):
                         sl = slice(i * nb, (i + 1) * nb)
@@ -796,9 +804,7 @@ class BruteForce:
                         a.append(put(args[9], s=False))   # dust ladder
                         a.append(put(args[10]))
                         outs.append(steps[i](*a))
-                    return {k: np.concatenate(
-                        [np.asarray(o[k]) for o in outs])
-                        for k in outs[0]}
+                    return outs
         elif use_screen:
             # Plain-XLA funnel: same screen -> block shortlist -> fit
             # algorithm, no Pallas (non-TPU backends; model-sharded
@@ -908,21 +914,32 @@ class BruteForce:
                 # start the device->host copies immediately, but only
                 # materialize the PREVIOUS batch: the device computes
                 # batch i+1 while batch i streams back (the host link
-                # is a major cost at these throughputs).
-                if isinstance(out, dict) and hasattr(
-                        next(iter(out.values())), "copy_to_host_async"):
-                    # The top-K diagnostics are ~75% of the result
-                    # bytes and feed no output dataset; fetch only on
-                    # request.
-                    skip = (() if return_sel
-                            else ("sel_idx", "lnp_sel", "valid_sel"))
-                    fpack, ipack, layout = _pack_outputs(out, skip)
-                    for v in (fpack, ipack):
-                        if v is not None:
-                            v.copy_to_host_async()
-                    item = (lo, n, fpack, ipack, layout)
-                else:       # multi-device fused path returns numpy
-                    item = (lo, n, out, None, None)
+                # is a major cost at these throughputs).  The
+                # multi-device fused path returns a LIST of per-device
+                # dicts; each device's pair packs and streams
+                # independently (concurrent readback over all devices).
+                # The top-K diagnostics are ~75% of the result bytes
+                # and feed no output dataset; fetch only on request.
+                skip = (() if return_sel
+                        else ("sel_idx", "lnp_sel", "valid_sel"))
+                parts = out if isinstance(out, list) else [out]
+                if all(isinstance(p, dict) and hasattr(
+                        next(iter(p.values())), "copy_to_host_async")
+                        for p in parts):
+                    packs, layout = [], None
+                    for p in parts:
+                        fpack, ipack, layout = _pack_outputs(p, skip)
+                        for v in (fpack, ipack):
+                            if v is not None:
+                                v.copy_to_host_async()
+                        packs.append((fpack, ipack))
+                    item = (lo, n, packs, None, layout)
+                else:       # interpret-mode fallbacks return numpy
+                    merged = (parts[0] if len(parts) == 1 else
+                              {k: np.concatenate(
+                                  [np.asarray(p[k]) for p in parts])
+                               for k in parts[0]})
+                    item = (lo, n, merged, None, None)
                 if pending[0] is not None:
                     yield pending[0]
                 pending[0] = item
@@ -932,7 +949,11 @@ class BruteForce:
                 lo, n, a, b, layout = item
                 if layout is None:
                     return lo, n, {k: np.asarray(v) for k, v in a.items()}
-                return lo, n, _unpack_outputs(a, b, layout)
+                parts = [_unpack_outputs(f, i, layout) for f, i in a]
+                if len(parts) == 1:
+                    return lo, n, parts[0]
+                return lo, n, {k: np.concatenate([p[k] for p in parts])
+                               for k in parts[0]}
 
             for item in batches_dispatch():
                 yield emit(item)
