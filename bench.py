@@ -41,6 +41,38 @@ def build_stars(mc, n_star, seed, dtype="float32"):
             parallax.astype(dtype), (0.1 * parallax).astype(dtype))
 
 
+def build_correlated_grid(n_model, n_filt, seed=2):
+    """Label-ordered CORRELATED grid: a (mini, eep, feh) lattice in the
+    reference's mini-major file order with smooth coefficient surfaces —
+    the structure the funnel's contiguous-block selection actually faces
+    on real SEDmaker/MIST grids (neighboring models nearly degenerate,
+    high-likelihood models clustered into bands).  The uncorrelated
+    i.i.d. grid above makes `true_model_hit_rate=1.00` easy; this one
+    is the honest recall probe (deep sweep: RECALL.json)."""
+    rng = np.random.default_rng(seed)
+    n_feh, n_eep = 10, 320
+    n_mini = -(-n_model // (n_feh * n_eep))
+    mini = np.linspace(0.5, 2.0, n_mini)
+    eep = np.linspace(202.0, 600.0, n_eep)
+    feh = np.linspace(-1.0, 0.5, n_feh)
+    mm, ee, ff = [a.ravel() for a in
+                  np.meshgrid(mini, eep, feh, indexing="ij")]
+    mm, ee, ff = mm[:n_model], ee[:n_model], ff[:n_model]
+    x = (ee - 202.0) / 398.0
+    logt = 3.75 - 0.12 * (mm - 1.0) + 0.25 * np.sin(np.pi * x) - 0.04 * ff
+    logl = 0.2 + 3.2 * np.log10(mm) + 1.8 * x ** 2
+    lam = np.linspace(0.0, 1.0, n_filt)           # pseudo-wavelength
+    a1 = 2.0 - 3.5 * lam                          # temperature slope
+    a2 = rng.uniform(-1.5, 1.5, n_filt)           # curvature
+    zp = rng.uniform(8.0, 10.0, n_filt)
+    t = (logt - 3.75)[:, None]
+    mags = zp[None] - 2.5 * logl[:, None] + a1[None] * t + a2[None] * t ** 2
+    r0 = 1.15 * np.exp(-0.9 * lam)[None] * (1.0 + 0.08 * t)
+    dr = 0.16 * r0 * (lam - 0.45)[None]
+    mc = np.stack([mags, r0, dr], axis=-1).astype(np.float32)
+    return mc, ff.astype(np.float32), (8.0 + 2.0 * x).astype(np.float32)
+
+
 def build_problem(n_model, n_filt, n_star, seed=0, dtype="float32"):
     rng = np.random.default_rng(seed)
     mc = np.stack([rng.uniform(8.0, 16.0, (n_model, n_filt)),
@@ -91,6 +123,11 @@ def main():
     ap.add_argument("--mc-tile", type=int, default=256)
     ap.add_argument("--xla-chunk", type=int, default=32,
                     help="XLA engine: stars per sub-batch (HBM bound)")
+    ap.add_argument("--no-correlated", dest="correlated",
+                    action="store_false", default=True,
+                    help="skip the correlated-grid honesty check "
+                         "(saves a second table build/transfer on "
+                         "sweep runs; the headline run keeps it)")
     ap.add_argument("--breakdown", action="store_true",
                     help="funnel engine only: time cumulative stage "
                          "prefixes (screen / +gather / +fit / +select / "
@@ -315,6 +352,22 @@ def main():
                 return jstep(coeffs_t, packed, maskrow, keys, f, e,
                              plx, plx_err)
 
+            def bind_grid(mc_b, feh_b, loga_b):
+                """Same compiled step over a different same-shape grid
+                (same shapes -> the jit cache serves it; ~0 compile)."""
+                ct, pk, an, nr, mr = prepare_screen(
+                    mc_b, aux=dict(lnprior=np.zeros(M, np.float32),
+                                   feh=feh_b.astype(np.float32),
+                                   loga=loga_b.astype(np.float32)),
+                    tile=args.tile)
+                assert an == aux_names and nr == n_real
+
+                def stepb(keys, f, e, plx, plx_err):
+                    return jstep(ct, pk, mr, keys, f, e, plx, plx_err)
+
+                return stepb
+
+            step.bind_grid = bind_grid
             return step
 
         coeffs_t, n_real = prepare_coeffs(mc, tile=args.tile)
@@ -511,6 +564,75 @@ def main():
         deltas["screen_ms"] = round(deltas["screen_ms"], 3)
         deltas["full_ms_per_batch"] = round(cum["full"], 3)
         breakdown_info = {"breakdown": deltas}
+    # --- correlated-grid honesty check: the i.i.d. grid above makes
+    # hit_rate=1.00 easy; rerun ONE batch on a label-ordered correlated
+    # grid (same shapes -> same executable) and report (a) the fraction
+    # of stars whose injected true model appears among their posterior
+    # draws, measured in-run on hardware, and (b) the deep worst-star
+    # shortlist recall from RECALL.json (real SEDmaker grid) at this
+    # (screen_k, block). ---
+    corr_info = {}
+    if (args.correlated and hasattr(step, "bind_grid")
+            and not args.loglike_only):
+        mc_c, feh_c, loga_c = build_correlated_grid(M, F)
+        step_c = step.bind_grid(mc_c, feh_c, loga_c)
+        # Dust-prior-consistent injections (av ~ the bench ladder's mean
+        # at the star's distance): on a DEGENERATE grid a mismatched
+        # dust prior legitimately slides the posterior along the
+        # (model, av, dist) ridge away from the injected model, which
+        # would measure the prior, not the screen.
+        rng_c = np.random.default_rng(7)
+        n_model = mc_c.shape[0]
+        idx_c = rng_c.integers(0, n_model, B)
+        dist_c = rng_c.uniform(0.3, 3.0, B)
+        av_c = np.clip(0.15 * dist_c + rng_c.normal(size=B) * 0.1,
+                       0.01, None)
+        rv_c = rng_c.uniform(2.8, 3.8, B)
+        sed_c = (mc_c[idx_c, :, 0]
+                 + av_c[:, None] * (mc_c[idx_c, :, 1]
+                                    + rv_c[:, None] * mc_c[idx_c, :, 2]))
+        f_c = 10 ** (-0.4 * sed_c) / dist_c[:, None] ** 2
+        e_c = f_c / 60.0
+        f_c = (f_c + rng_c.normal(size=f_c.shape) * e_c).astype(
+            np.float32)
+        p_c = (1.0 / dist_c
+               + rng_c.normal(size=B) * 0.05 / dist_c).astype(np.float32)
+        pe_c = (0.1 / dist_c).astype(np.float32)
+        out_c = step_c(jax.random.split(jax.random.PRNGKey(99), B),
+                       jnp.asarray(f_c), jnp.asarray(e_c.astype(
+                           np.float32)),
+                       jnp.asarray(p_c), jnp.asarray(pe_c))
+        jax.block_until_ready(out_c)
+        in_draws = (np.asarray(out_c["model_idx"])
+                    == idx_c[:, None]).any(1).mean()
+        # Shortlist membership isolates screen + top-K selection from
+        # legitimate prior-driven posterior shifts (RECALL.json's
+        # `true_model_on_list` analogue, measured in-run on hardware).
+        in_short = (np.asarray(out_c["sel_idx"])
+                    == idx_c[:, None]).any(1).mean()
+        corr_info["correlated_true_model_in_draws"] = round(
+            float(in_draws), 4)
+        corr_info["correlated_true_model_in_shortlist"] = round(
+            float(in_short), 4)
+        try:
+            with open(os.path.join(os.path.dirname(
+                    os.path.abspath(__file__)), "RECALL.json")) as fh:
+                rec = json.load(fh)
+            match = [r for r in rec["results"]
+                     if r["screen_k"] == args.screen
+                     and r["block"] == args.screen_block]
+            if match:
+                corr_info["correlated_worst_star_recall"] = round(
+                    match[0]["recall_min"], 4)
+                corr_info["recall_source"] = (
+                    f"RECALL.json ({rec['n_models']}-model SEDmaker "
+                    f"grid, {rec['n_star']} stars)")
+        except (OSError, KeyError, json.JSONDecodeError):
+            pass
+        print(f"# correlated grid: true_model_in_draws={in_draws:.3f} "
+              f"{corr_info.get('correlated_worst_star_recall', '')}",
+              file=sys.stderr)
+
     stage = "loglike" if args.loglike_only else "full_fit"
     result = {
         "metric": f"stars_per_sec_{stage}_{M//1000}k_models_{args.engine}",
@@ -523,6 +645,7 @@ def main():
         "true_model_hit_rate": round(float(hit), 4),
     }
     result.update(verify_info)
+    result.update(corr_info)
     result.update(breakdown_info)
     print(json.dumps(result))
 

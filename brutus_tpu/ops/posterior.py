@@ -143,6 +143,7 @@ def _select_stage(results, lnprior_grid, coord,
     # gathered once at the final top-K with global indices — gathers
     # dominate this stage on TPU, so each saved array matters. ---
     K1 = cfg.prefilter_k
+    rv_pre = chi2_pre = icov_pre = None
     if K1 and K1 < M:
         _, pre_idx = jax.lax.approx_max_k(lnprob, K1,
                                           recall_target=0.95)
@@ -154,6 +155,19 @@ def _select_stage(results, lnprior_grid, coord,
             fields.append(feh)
         if loga is not None:
             fields.append(loga)
+        # With prefilter width == K the prefilter IS the selection
+        # (sel_idx == pre_idx below): fold the fit-output tail fields
+        # (rv, chi2, 6 precision components) into the SAME pack, which
+        # removes the second full-width stack + row gather entirely.
+        merge_tail = (K1 == min(K, K1))
+        if merge_tail:
+            if icov_parts is not None:
+                parts_full = tuple(icov_parts)
+            else:
+                parts_full = (icov[:, 0, 0], icov[:, 1, 1],
+                              icov[:, 2, 2], icov[:, 0, 1],
+                              icov[:, 0, 2], icov[:, 1, 2])
+            fields.extend((rv, chi2) + parts_full)
         packed = jnp.stack(fields, axis=-1)[pre_idx]
         lnlike, scale, av, lnprob, lnprior_grid = (
             packed[:, 0], packed[:, 1], packed[:, 2], packed[:, 3],
@@ -163,7 +177,10 @@ def _select_stage(results, lnprior_grid, coord,
         if feh is not None:
             feh_s, c = packed[:, c], c + 1
         if loga is not None:
-            loga_s = packed[:, c]
+            loga_s, c = packed[:, c], c + 1
+        if merge_tail:
+            rv_pre, chi2_pre = packed[:, c], packed[:, c + 1]
+            icov_pre = tuple(packed[:, c + 2 + i] for i in range(6))
     else:
         pre_idx = None
         feh_s, loga_s = feh, loga
@@ -233,7 +250,11 @@ def _select_stage(results, lnprior_grid, coord,
     # r_den, sa, sr, ar)`: the inverse + PSD repair + Cholesky run
     # downstream on parts (in the MC kernel on the fused path), never
     # materializing (K, 3, 3) stacks here.
-    if icov_parts is not None:
+    if rv_pre is not None:
+        # Tail fields rode the prefilter pack (sel_idx == pre_idx):
+        # no second full-width stack/gather.
+        rv_k, chi2_k, icov_p = rv_pre, chi2_pre, icov_pre
+    elif icov_parts is not None:
         packed_k = jnp.stack((rv, chi2) + tuple(icov_parts),
                              axis=-1)[sel_idx]
         rv_k, chi2_k = packed_k[:, 0], packed_k[:, 1]

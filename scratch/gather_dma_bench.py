@@ -164,13 +164,28 @@ def make_floor(rows, cols):
 
 
 def bench(name, fn, inputs, out_bytes):
-    out = fn(*inputs[0])
-    jax.block_until_ready(out)
+    """Serialized-chain timing: every iteration consumes a DISTINCT
+    input (repeated (executable, inputs) pairs can be served from
+    backend caches) AND carries a data dependency on the previous
+    output (a 0-valued scalar folded into the next index array), so
+    executions cannot overlap or be acknowledged optimistically —
+    wall-clock is the sum of true execution times.  `fn` must be
+    jitted and take (idx, src)."""
+    carry = jnp.zeros((), jnp.int32)
+
+    @jax.jit
+    def chained(c, idx, src):
+        out = fn(idx + c, src)
+        return jax.lax.convert_element_type(out.ravel()[0], jnp.int32) * 0, out
+
+    carry, out = chained(carry, *inputs[-1])
+    jax.block_until_ready((carry, out))
+    n = len(inputs) - 1
     t0 = time.perf_counter()
-    for i in range(N_ITER):
-        out = fn(*inputs[i % len(inputs)])
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / N_ITER
+    for i in range(n):
+        carry, out = chained(carry, *inputs[i])
+    jax.block_until_ready((carry, out))
+    dt = (time.perf_counter() - t0) / n
     # count read+write traffic
     print(f"  {name:44s} {dt * 1e3:7.3f} ms "
           f"({2 * out_bytes / dt / 1e9:6.1f} GB/s rw)", flush=True)
@@ -179,6 +194,36 @@ def bench(name, fn, inputs, out_bytes):
 def main():
     print(f"devices={jax.devices()} NSEM={NSEM}", flush=True)
     key = jax.random.PRNGKey(0)
+
+    # Correctness probe (small shapes, fetched to host): rules out a
+    # silently no-op kernel behind anomalous timings.
+    blk, nbs, Bs, Ms = 128, 4, 8, 4096
+    src = jax.random.normal(key, (C, Ms), jnp.float32)
+    idx = jax.random.randint(key, (Bs, nbs), 0, Ms // blk, jnp.int32)
+
+    def mk_small(maker, bm):
+        g = maker(Ms, nbs, blk)
+        s = src
+        if bm:
+            s = jnp.reshape(jnp.swapaxes(
+                jnp.reshape(src, (C, Ms // blk, blk)), 0, 1),
+                ((Ms // blk) * C, blk))
+        return np.asarray(g(idx, s))
+
+    ih = np.asarray(idx)
+    sh = np.asarray(src)
+    expA = np.concatenate(
+        [np.concatenate([sh[:, i * blk:(i + 1) * blk] for i in row],
+                        axis=1) for row in ih], axis=1)
+    outA = mk_small(make_gather_A, False)
+    outB = mk_small(make_gather_B, True)
+    outC = mk_small(make_gather_C, True)
+    assert np.array_equal(outA, expA), "gather A wrong"
+    assert np.array_equal(outB, expA), "gather B wrong"
+    expC = np.concatenate(
+        [sh[:, i * blk:(i + 1) * blk] for i in ih.ravel()], axis=0)
+    assert np.array_equal(outC, expC), "gather C wrong"
+    print("correctness: A/B/C gathers exact", flush=True)
 
     for block, k in ((128, 12288), (256, 8192), (256, 16384),
                      (512, 16384), (512, 65536)):
@@ -191,7 +236,7 @@ def main():
             (nblocks * C, block))
         idxs = [jax.random.randint(jax.random.PRNGKey(i), (B, nb), 0,
                                    nblocks, jnp.int32)
-                for i in range(4)]
+                for i in range(N_ITER + 1)]
         out_bytes = C * B * nb * block * 4
         print(f"block={block} k={k} nb={nb} "
               f"({out_bytes / 1e6:.0f} MB out)", flush=True)
@@ -207,9 +252,11 @@ def main():
 
     rows = C * B * 16384 // 256
     fl = make_floor(rows, 256)
-    src2 = jax.random.normal(key, (rows, 256), jnp.float32)
-    bench("F floor: one contiguous copy (268 MB)", fl, [(src2,)],
-          rows * 256 * 4)
+    z = jnp.zeros((1,), jnp.int32)
+    srcs = [(z, jax.random.normal(jax.random.PRNGKey(i), (rows, 256),
+                                  jnp.float32)) for i in range(5)]
+    bench("F floor: one contiguous copy (268 MB)",
+          lambda idx, src: fl(src), srcs, rows * 256 * 4)
 
 
 if __name__ == "__main__":

@@ -145,7 +145,7 @@ def main():
         Mb = score.shape[1] // f
         bscore = score[:, :Mb * f].reshape(n_star, Mb, f).max(-1)
         order = np.argsort(-bscore, axis=1)
-        for screen_k in (2048, 4096, 8192, 16384, 32768):
+        for screen_k in (2048, 4096, 8192, 10240, 12288, 16384, 32768):
             nb = max(1, min(screen_k // block, Mb))
             bidx = order[:, :nb]
             idx = (bidx[:, :, None] * block

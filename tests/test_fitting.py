@@ -432,6 +432,48 @@ def test_lnpost_prefilter_equivalence():
                - float(out_pre["log_evidence"])) < 0.3
 
 
+@pytest.mark.slow
+def test_select_stage_merged_prefilter_pack():
+    """`prefilter_k == n_sel_max` (the shipped default relation): the
+    prefilter IS the selection and the fit-output tail fields (rv,
+    chi2, precision parts) ride the prefilter pack — every per-model
+    field of `_select_stage` must match the prefilter-off path exactly
+    when aligned by model index."""
+    from brutus_tpu.ops.posterior import _select_stage
+    from brutus_tpu.config import GalPriorConfig, DustPriorConfig
+    flux, err = make_star(MC, 33, 0.5, 3.2, 1.1)
+    res = loglike_grid(jnp.asarray(flux), jnp.asarray(err),
+                       jnp.ones(NFILT, bool), jnp.asarray(MC),
+                       cfg=FitConfig())
+    args = (res, jnp.zeros(NMODEL), jnp.asarray(COORD),
+            jnp.asarray(0.9), jnp.asarray(0.05),
+            jnp.asarray(LABELS["feh"]), jnp.asarray(LABELS["loga"]),
+            None)
+    sel_ref = _select_stage(*args, PosteriorConfig(
+        n_sel_max=64, prefilter_k=0), GalPriorConfig(),
+        DustPriorConfig(), False)
+    sel_m = _select_stage(*args, PosteriorConfig(
+        n_sel_max=64, prefilter_k=64), GalPriorConfig(),
+        DustPriorConfig(), False)
+    vr = np.asarray(sel_ref["valid"])
+    vm = np.asarray(sel_m["valid"])
+    ir = np.asarray(sel_ref["sel_idx"])[vr]
+    im = np.asarray(sel_m["sel_idx"])[vm]
+    o_r, o_m = np.argsort(ir), np.argsort(im)
+    np.testing.assert_array_equal(ir[o_r], im[o_m])
+    for k in ("lnp_sel", "scale_k", "av_k", "rv_k", "chi2_k"):
+        np.testing.assert_allclose(
+            np.asarray(sel_ref[k])[vr][o_r],
+            np.asarray(sel_m[k])[vm][o_m], rtol=1e-6, err_msg=k)
+    for i in range(6):
+        np.testing.assert_allclose(
+            np.asarray(sel_ref["icov_p"][i])[vr][o_r],
+            np.asarray(sel_m["icov_p"][i])[vm][o_m], rtol=1e-6,
+            err_msg=f"icov_p[{i}]")
+    np.testing.assert_allclose(np.asarray(sel_ref["chi2min"]),
+                               np.asarray(sel_m["chi2min"]), rtol=1e-6)
+
+
 def test_lnpost_cdf_threshold_mode():
     """wt_thresh=None switches to the CDF-based cull (reference
     fitting.py:992-997)."""
