@@ -112,12 +112,15 @@ def main():
     ap.add_argument("--no-direct-init", dest="direct_init",
                     action="store_false")
     ap.add_argument("--prefilter", type=int, default=2048)
-    ap.add_argument("--screen", type=int, default=8192,
+    # Defaults follow FitConfig (single source of truth; sized for
+    # worst-star recall on correlated grids — see config.py).
+    from brutus_tpu.config import FitConfig as _FC
+    ap.add_argument("--screen", type=int, default=_FC.screen_k,
                     help="two-stage funnel (both engines): screen all "
                          "models with the cheap direct-solve score, "
                          "fully optimize only the top-`screen` models "
                          "per star (0 = dense)")
-    ap.add_argument("--screen-block", type=int, default=256)
+    ap.add_argument("--screen-block", type=int, default=_FC.screen_block)
     ap.add_argument("--mag-iters", type=int, default=6)
     ap.add_argument("--flux-iters", type=int, default=6)
     ap.add_argument("--mc-tile", type=int, default=256)
@@ -128,6 +131,11 @@ def main():
                     help="skip the correlated-grid honesty check "
                          "(saves a second table build/transfer on "
                          "sweep runs; the headline run keeps it)")
+    ap.add_argument("--gather-layout", choices=["bm", "cm"],
+                    default="bm",
+                    help="funnel gather-table layout: block-major "
+                         "(contiguous DMA slabs) or column-major "
+                         "(measurement control)")
     ap.add_argument("--breakdown", action="store_true",
                     help="funnel engine only: time cumulative stage "
                          "prefixes (screen / +gather / +fit / +select / "
@@ -316,7 +324,8 @@ def main():
                 mc, aux=dict(lnprior=np.zeros(M, np.float32),
                              feh=feh.astype(np.float32),
                              loga=loga.astype(np.float32)),
-                tile=args.tile)
+                tile=args.tile, screen_block=args.screen_block,
+                gather_layout=args.gather_layout)
 
             from brutus_tpu.ops.posterior import lnpost_batch
 
@@ -359,7 +368,8 @@ def main():
                     mc_b, aux=dict(lnprior=np.zeros(M, np.float32),
                                    feh=feh_b.astype(np.float32),
                                    loga=loga_b.astype(np.float32)),
-                    tile=args.tile)
+                    tile=args.tile, screen_block=args.screen_block,
+                    gather_layout=args.gather_layout)
                 assert an == aux_names and nr == n_real
 
                 def stepb(keys, f, e, plx, plx_err):
@@ -509,7 +519,8 @@ def main():
             mc, aux=dict(lnprior=np.zeros(M, np.float32),
                          feh=feh.astype(np.float32),
                          loga=loga.astype(np.float32)),
-            tile=args.tile)
+            tile=args.tile, screen_block=args.screen_block,
+            gather_layout=args.gather_layout)
 
         def make_prefix(stop_ll, stop_post):
             def fn(ct, pk, mr, keys, f, e, plx, plx_err):
@@ -603,17 +614,19 @@ def main():
                            np.float32)),
                        jnp.asarray(p_c), jnp.asarray(pe_c))
         jax.block_until_ready(out_c)
-        in_draws = (np.asarray(out_c["model_idx"])
-                    == idx_c[:, None]).any(1).mean()
-        # Shortlist membership isolates screen + top-K selection from
-        # legitimate prior-driven posterior shifts (RECALL.json's
-        # `true_model_on_list` analogue, measured in-run on hardware).
-        in_short = (np.asarray(out_c["sel_idx"])
-                    == idx_c[:, None]).any(1).mean()
-        corr_info["correlated_true_model_in_draws"] = round(
-            float(in_draws), 4)
-        corr_info["correlated_true_model_in_shortlist"] = round(
-            float(in_short), 4)
+        # On this DEGENERATE lattice thousands of models are within
+        # measurement noise of the injected one, so exact-index
+        # membership is meaningless; the honest end-to-end metric is
+        # physical recovery of the injected (distance, Av) by the
+        # posterior draws.
+        d_med = np.median(np.asarray(out_c["dist"]), axis=1)
+        a_med = np.median(np.asarray(out_c["red"]), axis=1)
+        d_err = np.abs(d_med - dist_c) / dist_c
+        a_err = np.abs(a_med - av_c)
+        corr_info["correlated_dist_p90_relerr"] = round(
+            float(np.quantile(d_err, 0.9)), 4)
+        corr_info["correlated_av_p90_abserr"] = round(
+            float(np.quantile(a_err, 0.9)), 4)
         try:
             with open(os.path.join(os.path.dirname(
                     os.path.abspath(__file__)), "RECALL.json")) as fh:
@@ -629,8 +642,12 @@ def main():
                     f"grid, {rec['n_star']} stars)")
         except (OSError, KeyError, json.JSONDecodeError):
             pass
-        print(f"# correlated grid: true_model_in_draws={in_draws:.3f} "
-              f"{corr_info.get('correlated_worst_star_recall', '')}",
+        print(f"# correlated grid: dist_p90_relerr="
+              f"{corr_info['correlated_dist_p90_relerr']:.3f} "
+              f"av_p90_abserr="
+              f"{corr_info['correlated_av_p90_abserr']:.3f} "
+              f"worst_star_recall="
+              f"{corr_info.get('correlated_worst_star_recall', '?')}",
               file=sys.stderr)
 
     stage = "loglike" if args.loglike_only else "full_fit"

@@ -105,11 +105,14 @@ class FitConfig:
     # optimizer FLOPs (and ALL full-grid posterior gathers) disappear;
     # models outside the shortlist could never have survived the
     # posterior's relative-weight culls.  0 disables (dense fit).
-    # 8192 measured indistinguishable from 16384 in cross-engine
-    # posterior agreement at 750k models (bench --verify) and ~10%
-    # faster; a star needs >8192 models within ~7 nats of its best
-    # fit for the truncation to bite.
-    screen_k: int = 8192
+    # Sized for worst-star recall on CORRELATED (real SEDmaker) grids:
+    # at block=256, screen_k=8192 leaves worst-star posterior-mass
+    # recall at 0.818 while 12288 reaches 0.960 and true-model-on-list
+    # 1.00 (RECALL.json, 758k-model grid, 64 stars); measured cost on
+    # one v5e chip was 6157 -> 5241 stars/s (-15%) — the cheapest
+    # qualifying (>= 0.95 worst-star) configuration of the sweep
+    # (12288/128: 0.986 at 5026; 10240/128: 0.963 at 5092).
+    screen_k: int = 12288
 
     # Funnel shortlist selection granularity: models are selected as
     # contiguous `screen_block`-wide slabs (the screening kernel emits

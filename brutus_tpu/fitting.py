@@ -198,17 +198,20 @@ def _screened_step(fit_cfg, post_cfg, gal_cfg, dust_cfg, apply_av_prior,
     d = P("data")
     r = P()
 
-    def make(has_dust):
+    def make(has_dust, pk_bm):
+        # Block-major gather tables ((Mp // gb) * C, gb) carry the
+        # model axis in ROWS; column-major (C, Mp) in columns.
+        pkspec = P("model", None) if pk_bm else mspec
         if has_dust:
             def body(ct, pk, mr, keys, f, e, m, px, pe, co, dm, ds, dd):
                 return step_fn(ct, pk, mr, keys, f, e, m, px, pe, co,
                                dm, ds, dd, None)
-            ins = (cspec, mspec, mspec, d, d, d, d, d, d, d, d, d, r)
+            ins = (cspec, pkspec, mspec, d, d, d, d, d, d, d, d, d, r)
         else:
             def body(ct, pk, mr, keys, f, e, m, px, pe, co):
                 return step_fn(ct, pk, mr, keys, f, e, m, px, pe, co,
                                None, None, None, None)
-            ins = (cspec, mspec, mspec, d, d, d, d, d, d, d)
+            ins = (cspec, pkspec, mspec, d, d, d, d, d, d, d)
         return jax.jit(shard_map(body, mesh=mesh, in_specs=ins,
                                  out_specs=d, **_sm_kw))
 
@@ -222,12 +225,13 @@ def _screened_step(fit_cfg, post_cfg, gal_cfg, dust_cfg, apply_av_prior,
                 "mesh (the (B, M) prior table would need model-axis "
                 "sharding + a distributed gather)")
         has_dust = dm is not None
-        if has_dust not in cache:
-            cache[has_dust] = make(has_dust)
+        key = (has_dust, pk.shape[1] != mr.shape[1])
+        if key not in cache:
+            cache[key] = make(*key)
         if has_dust:
-            return cache[has_dust](ct, pk, mr, keys, f, e, m, px, pe,
-                                   co, dm, ds, dd)
-        return cache[has_dust](ct, pk, mr, keys, f, e, m, px, pe, co)
+            return cache[key](ct, pk, mr, keys, f, e, m, px, pe,
+                              co, dm, ds, dd)
+        return cache[key](ct, pk, mr, keys, f, e, m, px, pe, co)
 
     return step
 
@@ -533,7 +537,7 @@ class BruteForce:
             save_dar_draws=True, running_io=True, verbose=True,
             batch_size=16, n_sel_max=2048, seed=0, resume=False,
             return_results=False, return_sel=False, mesh=None,
-            engine=None, tile=512, screen_k=8192, screen_block=256,
+            engine=None, tile=512, screen_k=None, screen_block=None,
             mag_direct_init=True,
             _yield_batches=False):
         """Fit every star against the grid and write the results file.
@@ -583,8 +587,14 @@ class BruteForce:
                             ltol=ltol, ltol_subthresh=ltol_subthresh,
                             init_thresh=logl_initthresh,
                             dim_prior=logl_dim_prior,
-                            screen_k=int(screen_k),
-                            screen_block=int(screen_block),
+                            # None -> the FitConfig defaults (single
+                            # source of truth; sized for worst-star
+                            # recall, see config.py).
+                            screen_k=(FitConfig.screen_k if screen_k
+                                      is None else int(screen_k)),
+                            screen_block=(FitConfig.screen_block
+                                          if screen_block is None
+                                          else int(screen_block)),
                             # Production default ON (the fused kernel
                             # always direct-seeds; this turns it on for
                             # the XLA engine too — same converged
@@ -695,12 +705,16 @@ class BruteForce:
             if loga_arr is not None:
                 aux["loga"] = np.asarray(loga_arr, np.float32)
             (coeffs_t, packed, aux_names, n_real,
-             maskrow) = prepare_screen(self.models, aux=aux, tile=tile,
-                                       n_shards=model_ax)
+             maskrow) = prepare_screen(
+                 self.models, aux=aux, tile=tile, n_shards=model_ax,
+                 screen_block=fit_cfg.screen_block)
             ct_s = jax.device_put(
                 coeffs_t, NamedSharding(mesh, P(None, None, "model")))
-            pk_s = jax.device_put(
-                packed, NamedSharding(mesh, P(None, "model")))
+            # Block-major gather tables carry the model axis in ROWS
+            # ((Mp // gb) * C, gb); column-major carries it in columns.
+            pk_spec = (P("model", None) if packed.shape[1] != maskrow.shape[1]
+                       else P(None, "model"))
+            pk_s = jax.device_put(packed, NamedSharding(mesh, pk_spec))
             mr_s = jax.device_put(
                 maskrow, NamedSharding(mesh, P(None, "model")))
             batch_shard = data_sharding(mesh)
@@ -724,8 +738,9 @@ class BruteForce:
                 if loga_arr is not None:
                     aux["loga"] = np.asarray(loga_arr, np.float32)
                 (coeffs_t, packed, aux_names, n_real,
-                 maskrow) = prepare_screen(self.models, aux=aux,
-                                           tile=tile)
+                 maskrow) = prepare_screen(
+                     self.models, aux=aux, tile=tile,
+                     screen_block=fit_cfg.screen_block)
                 for dev in fused_devices:
                     put = (lambda x: x if dev is None
                            else jax.device_put(x, dev))

@@ -307,36 +307,45 @@ def screen_score_from_sums(A01, A02, Bm0, A11, A12, A22, RS, b1r, b2,
 
     # Normal equations carry the Av Gaussian prior; the chi2
     # expansion below uses the RAW sums (explicit residuals).
+    # v2 of this score: the screen kernel is VPU-bound on exactly this
+    # math (~75 elementwise ops x B x M pairs dominate the stage, not
+    # the MXU matmuls — the old 6x-pass HIGHEST-precision matmuls only
+    # doubled it), so the 3x3 solve goes through the SCHUR COMPLEMENT
+    # of the always-well-conditioned pivot a00 = sum w: eliminating
+    # the mu offset first costs ~26 ops vs ~37 for three adjugate
+    # determinant expansions, with the identical solution.
     b0 = C0 - Bm0                  # sum w resid0
     b1 = b1r + avm * avvi
-    a11 = A11 + avvi
-    det = (a00 * (a11 * A22 - A12 * A12)
-           - A01 * (A01 * A22 - A12 * A02)
-           + A02 * (A01 * A12 - a11 * A02))
-    det1 = (a00 * (b1 * A22 - A12 * b2)
-            - b0 * (A01 * A22 - A12 * A02)
-            + A02 * (A01 * b2 - b1 * A02))
-    det2 = (a00 * (a11 * b2 - b1 * A12)
-            - A01 * (A01 * b2 - b1 * A02)
-            + b0 * (A01 * A12 - a11 * A02))
-    safe_det = jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
-    av = jnp.clip(det1 / safe_det, avmin, avmax)
-    avrv = det2 / safe_det
-    rv = jnp.where(jnp.abs(av) > 1e-10,
-                   avrv / jnp.where(jnp.abs(av) > 1e-10, av, 1.0),
-                   rvm)
+    ra00 = 1.0 / a00               # (B, 1) column — ~free per tile
+    k1 = A01 * ra00
+    k2 = A02 * ra00
+    s11 = (A11 + avvi) - k1 * A01  # Schur block of (Av, Av*Rv)
+    s12 = A12 - k1 * A02
+    s22 = A22 - k2 * A02
+    c1 = b1 - k1 * b0
+    c2 = b2 - k2 * b0
+    det = s11 * s22 - s12 * s12
+    rdet = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+    av = jnp.clip((c1 * s22 - s12 * c2) * rdet, avmin, avmax)
+    avrv = (s11 * c2 - s12 * c1) * rdet
+    av_ok = jnp.abs(av) > 1e-10
+    rv = jnp.where(av_ok, avrv / jnp.where(av_ok, av, 1.0), rvm)
     rv = jnp.clip(rv, rvmin, rvmax)
     avrv = av * rv
     # Re-solve the (linear, unbounded) mu offset at the clamped
     # (Av, Av*Rv), then score on the quadratic-form expansion of
     # the explicit-residual chi2:
     #   r = resid0 - u - av r0 - avrv dr;  chi2 = sum w r^2.
-    u = (b0 - av * A01 - avrv * A02) / a00
+    # u is exactly optimal given (av, avrv), so the u-terms of the
+    # expansion collapse: u^2 a00 - 2 u (b0 - av A01 - avrv A02)
+    # = u^2 a00 - 2 u (u a00) = -u^2 a00 = -u s0.
+    s0 = b0 - av * A01 - avrv * A02          # = u * a00
+    u = s0 * ra00
     rss0 = q0 + RS                 # sum w resid0^2
-    chi2 = (rss0 + u * u * a00 + av * av * A11 + avrv * avrv * A22
-            - 2.0 * (u * b0 + av * b1r + avrv * b2)
-            + 2.0 * (u * av * A01 + u * avrv * A02
-                     + av * avrv * A12))
+    chi2 = (rss0 - u * s0
+            + av * (av * A11 - 2.0 * b1r)
+            + avrv * (avrv * A22 - 2.0 * b2)
+            + 2.0 * (av * avrv) * A12)
     # Parallax chi2 at the implied flux scale s = 10**(-0.4 mu)
     # (the centering shift cancels inside resid0, so u is the true
     # mu offset; reference fitting.py:752-768).  plxw is 0 when no
@@ -719,7 +728,22 @@ def _make_call(cfg, B, F, M, tile, dtype, interpret, per_star=False):
 # Two-stage funnel: screen all models cheaply, fully optimize a shortlist
 # ---------------------------------------------------------------------------
 
-def prepare_screen(mag_coeffs, aux=None, tile=512, n_shards=1):
+def _slab_block(screen_block, tile, interpret):
+    """Slab granularity of the funnel gather: must tile both the
+    screening tiles and Mp, and (on hardware) be lane-aligned for the
+    DMA slab copies.  Shared by `prepare_screen` (table layout) and
+    `loglike_grid_screened` (selection) so the two always agree."""
+    block = min(screen_block, tile)
+    while tile % block:
+        block //= 2
+    if not interpret:
+        block = max(block, 128)
+    return block
+
+
+def prepare_screen(mag_coeffs, aux=None, tile=512, n_shards=1,
+                   gather_layout="bm", screen_block=None,
+                   interpret=None):
     """Device tables for the screened (funnel) likelihood path.
 
     Parameters
@@ -750,6 +774,15 @@ def prepare_screen(mag_coeffs, aux=None, tile=512, n_shards=1):
     directly in the stage-2 kernel's `(3, F, B, P)` layout with a free
     reshape); then the aux row order, the real model count, and the
     `(1, Mp)` screening mask row (`-1e30` on tile padding).
+
+    `gather_layout` controls the physical layout of `packed`:
+    `"bm"` (default) stores it BLOCK-MAJOR — `(Mp // gb * C, gb)`
+    where `gb = _slab_block(screen_block, tile, interpret)` and rows
+    `[i*C, (i+1)*C)` hold gather block `i` — so every slab-gather DMA
+    reads ONE CONTIGUOUS `C * gb * 4`-byte chunk instead of `C`
+    separate Mp-strided rows of `4*gb` bytes each; `"cm"` keeps the
+    plain `(C, Mp)` column-major table (measurement control).  The
+    layout is inferred from `packed.shape` downstream.
     """
     import numpy as np
     import ml_dtypes
@@ -817,10 +850,35 @@ def prepare_screen(mag_coeffs, aux=None, tile=512, n_shards=1):
     if pad_c:
         packed = np.concatenate(
             [packed, np.zeros((pad_c, Mp), np.float32)])
+    if gather_layout == "bm":
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        gb = _slab_block(FitConfig.screen_block if screen_block is None
+                         else screen_block, tile, interpret)
+        C = packed.shape[0]
+        packed = np.ascontiguousarray(
+            packed.reshape(C, Mp // gb, gb).swapaxes(0, 1)
+        ).reshape(Mp // gb * C, gb)
+    elif gather_layout != "cm":
+        raise ValueError(f"unknown gather_layout {gather_layout!r}")
     maskrow = np.zeros((1, Mp), np.float32)
     maskrow[0, n_real:] = -1e30
     return (screen_tab, jnp.asarray(packed), tuple(names), n_real,
             jnp.asarray(maskrow))
+
+
+def gather_table_columns(packed, Mp):
+    """View a `prepare_screen` gather table as column-major `(C, Mp)`
+    regardless of its physical layout (host-side inspection helper;
+    the kernels consume the physical layout directly)."""
+    import numpy as np
+    p = np.asarray(packed)
+    if p.shape[1] == Mp:
+        return p
+    gb = p.shape[1]
+    C = p.shape[0] // (Mp // gb)
+    return np.ascontiguousarray(
+        p.reshape(Mp // gb, C, gb).swapaxes(0, 1)).reshape(C, Mp)
 
 
 @partial(jax.jit, static_argnames=("nb", "block"))
@@ -879,13 +937,17 @@ def _select_blocks_sharded(bscore, nb, block, model_axis, n_shards):
 
 
 @lru_cache(maxsize=32)
-def _make_gather_call(C, Mp, B, nb, block, interpret):
+def _make_gather_call(C, Mp, B, nb, block, interpret, src_bm=False):
     """DMA slab-gather kernel: `out[:, b, j*block:(j+1)*block] =
     packed[:, bidx[b, j]*block : +block]`.
 
     One program per star; each issues its `nb` HBM->HBM slab copies
     through a ring of `NSEM` in-flight DMAs.  ~50x faster than XLA's
     gather lowering for this access pattern.
+
+    `src_bm`: the source is BLOCK-MAJOR `(Mp // block * C, block)`
+    (see `prepare_screen`), so each slab read is one contiguous
+    `C * block * 4`-byte chunk instead of `C` strided rows.
     """
     NSEM = min(8, nb)
     P = nb * block
@@ -900,8 +962,12 @@ def _make_gather_call(C, Mp, B, nb, block, interpret):
                 # (C, block) slice (a 3-D (C, B, P) layout would put B
                 # in the tiled sublane dim, where size-1 slices are
                 # illegal).
+                if src_bm:
+                    src = src_ref.at[pl.ds(i * C, C), :]
+                else:
+                    src = src_ref.at[:, pl.ds(i * block, block)]
                 return pltpu.make_async_copy(
-                    src_ref.at[:, pl.ds(i * block, block)],
+                    src,
                     out_ref.at[:, pl.ds(b * P + j * block, block)],
                     sems.at[j % NSEM])
 
@@ -1000,11 +1066,22 @@ def loglike_grid_screened(flux, fluxerr, mask, screen_tab, packed,
 
     # Slab granularity must tile both the screening tiles and Mp, and
     # (on hardware) be lane-aligned for the DMA slab copies.
-    block = min(screen_block, tile)
-    while tile % block:
-        block //= 2
-    if not interpret:
-        block = max(block, 128)
+    block = _slab_block(screen_block, tile, interpret)
+    # Gather-table layout, inferred from `packed`'s shape (see
+    # `prepare_screen`): block-major tables must have been built for
+    # exactly this slab width.  (When M == block the two layouts
+    # coincide bit-for-bit and either branch is correct.)
+    src_bm = packed.shape[1] != M
+    if src_bm:
+        if packed.shape[1] != block:
+            raise ValueError(
+                f"block-major gather table was prepared for slab "
+                f"width {packed.shape[1]} but this call selects "
+                f"{block}-wide slabs; pass the same screen_block/tile "
+                f"to prepare_screen and loglike_grid_screened")
+        C_pack = packed.shape[0] // (M // block)
+    else:
+        C_pack = packed.shape[0]
     # Sharded mode: M is the LOCAL model count; the shortlist width is
     # still capped by the GLOBAL grid.
     nb = max(1, min(screen_k // block, (M * n_model_shards) // block))
@@ -1053,8 +1130,8 @@ def loglike_grid_screened(flux, fluxerr, mask, screen_tab, packed,
 
     if model_axis is None:
         bidx, idx = _select_blocks(bscore, nb, block)
-        gather = _make_gather_call(packed.shape[0], M, Bp, nb, block,
-                                   interpret)
+        gather = _make_gather_call(C_pack, M, Bp, nb, block,
+                                   interpret, src_bm)
         slabs = gather(bidx, packed)
     else:
         bidx, idx, mine = _select_blocks_sharded(bscore, nb, block,
@@ -1065,8 +1142,8 @@ def loglike_grid_screened(flux, fluxerr, mask, screen_tab, packed,
         # exactly one owner, so the psum is a scatter-free union.
         bidx_l = jnp.where(mine, bidx - lax.axis_index(model_axis)
                            * (M // block), 0)
-        gather = _make_gather_call(packed.shape[0], M, Bp, nb, block,
-                                   interpret)
+        gather = _make_gather_call(C_pack, M, Bp, nb, block,
+                                   interpret, src_bm)
         slabs = gather(bidx_l, packed)
         keepf = jnp.broadcast_to(mine[:, :, None],
                                  (Bp, nb, block)).reshape(1, Bp * nb

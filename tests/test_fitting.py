@@ -575,4 +575,7 @@ def test_fit_defaults_match_posterior_config():
     fc = FitConfig()
     assert sig.parameters["ltol"].default == fc.ltol
     assert sig.parameters["logl_initthresh"].default == fc.init_thresh
-    assert sig.parameters["screen_k"].default == fc.screen_k
+    # None -> resolved to the FitConfig defaults inside fit() (single
+    # source of truth for the recall-sized funnel configuration).
+    assert sig.parameters["screen_k"].default is None
+    assert sig.parameters["screen_block"].default is None

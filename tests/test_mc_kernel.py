@@ -25,7 +25,8 @@ def _setup(M=4096, F=8, B=5):
     ct, packed, names, n_real, maskrow = PL.prepare_screen(
         mc, aux=dict(lnprior=np.zeros(M, np.float32),
                      feh=feh.astype(np.float32),
-                     loga=loga.astype(np.float32)), tile=512)
+                     loga=loga.astype(np.float32)), tile=512,
+        screen_block=64)
     res = PL.loglike_grid_screened(
         jnp.asarray(flux), jnp.asarray(err), jnp.ones((B, F), bool),
         ct, packed, maskrow, n_real, parallax=jnp.asarray(plx),

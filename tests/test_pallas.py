@@ -124,7 +124,7 @@ def test_screened_funnel_matches_dense():
     st, packed, names, n_real, maskrow = prepare_screen(
         mc, aux=dict(lnprior=np.zeros(M, np.float32),
                      feh=rng.uniform(-2, 0.3, M).astype(np.float32)),
-        tile=128)
+        tile=128, screen_block=64)
     res = loglike_grid_screened(
         jnp.asarray(flux), jnp.asarray(err), jnp.asarray(mask),
         st, packed, maskrow, n_real, cfg=cfg, tile=128,
@@ -152,9 +152,11 @@ def test_screened_funnel_matches_dense():
         assert np.isin(good, gidx[b]).all()
     # Gathered aux columns match their grid rows (aux rows sit after
     # the 3F coefficient rows; trailing rows are alignment padding).
+    from brutus_tpu.ops.pallas_loglike import gather_table_columns
+    packed_cm = gather_table_columns(packed, maskrow.shape[1])
     feh_row = 3 * flux.shape[1] + names.index("feh")
     np.testing.assert_allclose(np.asarray(res["aux"]["feh"])[0],
-                               np.asarray(packed)[feh_row][gidx[0]])
+                               packed_cm[feh_row][gidx[0]])
     # Tile-padding models inside slabs are dead.
     pad_rows = gidx >= n_real
     if pad_rows.any():
@@ -255,7 +257,8 @@ def test_screened_funnel_wide_filters():
     cfg = FitConfig(dim_prior=False)
     M = len(mc)
     st, packed, names, n_real, maskrow = prepare_screen(
-        mc, aux=dict(lnprior=np.zeros(M, np.float32)), tile=128)
+        mc, aux=dict(lnprior=np.zeros(M, np.float32)), tile=128,
+        screen_block=64)
     assert st[0].shape[0] == 7               # n_g groups
     res = loglike_grid_screened(
         jnp.asarray(flux), jnp.asarray(err), jnp.asarray(mask),
