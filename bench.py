@@ -131,6 +131,15 @@ def main():
                     help="skip the correlated-grid honesty check "
                          "(saves a second table build/transfer on "
                          "sweep runs; the headline run keeps it)")
+    ap.add_argument("--screen-score", choices=["full", "debug_lin"],
+                    default="full",
+                    help="diagnostic screen-score variant (debug_lin "
+                         "keeps the matmuls, drops the VPU solve; "
+                         "results are meaningless)")
+    ap.add_argument("--screen-matmul", choices=["wide", "split"],
+                    default="split",
+                    help="screen kernel matmul issue shape (split = "
+                         "independent per-term dots, parallel MXUs)")
     ap.add_argument("--gather-layout", choices=["bm", "cm"],
                     default="bm",
                     help="funnel gather-table layout: block-major "
@@ -188,7 +197,9 @@ def main():
 
     fit_cfg = FitConfig(mag_direct_init=args.direct_init,
                         kernel_mag_iters=args.mag_iters,
-                        kernel_flux_iters=args.flux_iters)
+                        kernel_flux_iters=args.flux_iters,
+                        screen_score=args.screen_score,
+                        screen_matmul=args.screen_matmul)
     post_cfg = PosteriorConfig(n_mc_prior=args.nmc, n_draws=args.ndraws,
                                n_sel_max=min(args.nsel, M),
                                prefilter_k=args.prefilter)

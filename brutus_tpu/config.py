@@ -114,6 +114,25 @@ class FitConfig:
     # (12288/128: 0.986 at 5026; 10240/128: 0.963 at 5092).
     screen_k: int = 12288
 
+    # Screening-score variant (diagnostic / experimental):
+    #   "full"      — the production clamped 3x3 WLS chi2 (+ parallax).
+    #   "debug_lin" — a meaningless linear combination of all nine
+    #                 bilinear sums; same matmuls, ~no VPU score math.
+    #                 Used to attribute screen wall time between the
+    #                 MXU/HBM streaming and the per-(star, model) VPU
+    #                 solve (bench --screen-score debug_lin).
+    screen_score: str = "full"
+
+    # Screening-matmul issue shape:
+    #   "wide"  — one (B,48)@(48,6T) + one (B,96)@(96,3T) per tile
+    #             (v4; minimizes dispatch count).
+    #   "split" — nine INDEPENDENT per-term dots per tile.  The v2->v3
+    #             history implies independent narrow dots stream
+    #             columns in parallel across the chip's MXUs (v2's 72
+    #             narrow passes ran ~4 Gcol/s; v3's wide pair ~0.75),
+    #             while a single wide dot serializes on one MXU.
+    screen_matmul: str = "split"
+
     # Funnel shortlist selection granularity: models are selected as
     # contiguous `screen_block`-wide slabs (the screening kernel emits
     # per-block score maxima; the gather stage moves whole slabs at

@@ -305,6 +305,12 @@ def screen_score_from_sums(A01, A02, Bm0, A11, A12, A22, RS, b1r, b2,
     avmin, avmax = cfg.avlim
     rvmin, rvmax = cfg.rvlim
 
+    if cfg.screen_score == "debug_lin":
+        # Diagnostic: consume every sum (so no matmul is DCE'd) with
+        # ~no VPU work — isolates the matmul/streaming cost.
+        return -(A01 + A02 + Bm0 + A11 + A12 + A22 + RS + b1r + b2
+                 + a00 + C0 + q0 + plx + plxw)
+
     # Normal equations carry the Av Gaussian prior; the chi2
     # expansion below uses the RAW sums (explicit residuals).
     # v2 of this score: the screen kernel is VPU-bound on exactly this
@@ -436,27 +442,40 @@ def _make_screen_kernel(cfg: FitConfig, n_g, sblock):
         # column-concatenated per tile; tabc: (n_g, 96, 3T), rows
         # [mw-side splits; w-side splits] for the 3 folded data sums;
         # score: per-sblock maxima.
-        def contract(lhs_ref, tref):
+        def contract(lhs_ref, tref, sl=None):
             acc = None
             for g in range(n_g):
+                rhs = tref[g] if sl is None else tref[g, :, sl]
                 d = jax.lax.dot_general(
-                    lhs_ref[g], tref[g], (((1,), (0,)), ((), ())),
+                    lhs_ref[g], rhs, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 acc = d if acc is None else acc + d
             return acc
 
-        outw = contract(wb_ref, tabw_ref)      # (B, 6T)
-        outc = contract(cb_ref, tabc_ref)      # (B, 3T)
-        T = outw.shape[1] // N_SCREEN_W
-        A01 = outw[:, 0 * T:1 * T]     # sum w r0
-        A02 = outw[:, 1 * T:2 * T]     # sum w dr
-        Bm0 = outw[:, 2 * T:3 * T]     # sum w m0
-        A11 = outw[:, 3 * T:4 * T]     # sum w r0^2
-        A12 = outw[:, 4 * T:5 * T]     # sum w r0 dr
-        A22 = outw[:, 5 * T:6 * T]     # sum w dr^2
-        RS = outc[:, 0 * T:1 * T]      # sum w (-2 m m0 + m0^2)
-        b1r = outc[:, 1 * T:2 * T]     # sum w (m - m0) r0
-        b2 = outc[:, 2 * T:3 * T]      # sum w (m - m0) dr
+        if cfg.screen_matmul == "split":
+            # Nine INDEPENDENT per-term dots: independent narrow dots
+            # stream output columns in parallel across the MXUs,
+            # where the wide pair serializes on one (see FitConfig).
+            T = tabw_ref.shape[2] // N_SCREEN_W
+            ws = [contract(wb_ref, tabw_ref,
+                           pl.ds(k * T, T)) for k in range(N_SCREEN_W)]
+            cs = [contract(cb_ref, tabc_ref,
+                           pl.ds(k * T, T)) for k in range(N_SCREEN_C)]
+            A01, A02, Bm0, A11, A12, A22 = ws
+            RS, b1r, b2 = cs
+        else:
+            outw = contract(wb_ref, tabw_ref)      # (B, 6T)
+            outc = contract(cb_ref, tabc_ref)      # (B, 3T)
+            T = outw.shape[1] // N_SCREEN_W
+            A01 = outw[:, 0 * T:1 * T]     # sum w r0
+            A02 = outw[:, 1 * T:2 * T]     # sum w dr
+            Bm0 = outw[:, 2 * T:3 * T]     # sum w m0
+            A11 = outw[:, 3 * T:4 * T]     # sum w r0^2
+            A12 = outw[:, 4 * T:5 * T]     # sum w r0 dr
+            A22 = outw[:, 5 * T:6 * T]     # sum w dr^2
+            RS = outc[:, 0 * T:1 * T]      # sum w (-2 m m0 + m0^2)
+            b1r = outc[:, 1 * T:2 * T]     # sum w (m - m0) r0
+            b2 = outc[:, 2 * T:3 * T]      # sum w (m - m0) dr
 
         a00 = jnp.maximum(srow_ref[:, 0:1], 1e-30)   # (B, 1)
         C0 = srow_ref[:, 1:2]          # sum w m

@@ -91,9 +91,7 @@ def main():
         print(f"{name} scored in {time.time()-t0:.0f} s", flush=True)
 
     block = 256
-    screen_k = 8192
     Mb = n_real // block
-    nb2 = screen_k // block                      # tier-2 keeps 32 blocks
     bs3 = scores["3x3"][:, :Mb * block].reshape(n_star, Mb, block).max(-1)
     bs2 = scores["2x2"][:, :Mb * block].reshape(n_star, Mb, block).max(-1)
     order3 = np.argsort(-bs3, axis=1)
@@ -108,31 +106,35 @@ def main():
         hit = np.mean([cat["idx"][b] in idx[b] for b in range(n_star)])
         return rec, hit
 
-    rec1, hit1 = recall_of(order3[:, :nb2])
-    print(f"one-tier 3x3 k={screen_k}: min={rec1.min():.4f} "
-          f"p10={np.percentile(rec1, 10):.4f} mean={rec1.mean():.4f} "
-          f"hit={hit1:.3f}", flush=True)
+    screen_ks = ([int(x) for x in sys.argv[2].split(",")]
+                 if len(sys.argv) > 2 else [8192, 12288])
+    for screen_k in screen_ks:
+      nb2 = screen_k // block
+      rec1, hit1 = recall_of(order3[:, :nb2])
+      print(f"one-tier 3x3 k={screen_k}: min={rec1.min():.4f} "
+            f"p10={np.percentile(rec1, 10):.4f} mean={rec1.mean():.4f} "
+            f"hit={hit1:.3f}", flush=True)
 
-    for K1 in (16384, 32768, 65536, 131072):
-        nb1 = K1 // block
-        # tier-1: top-nb1 blocks by the 2x2 score; tier-2: re-rank
-        # those blocks by the exact 3x3 BLOCK score, keep nb2.
-        sel1 = order2[:, :nb1]                         # (n_star, nb1)
-        b3 = np.take_along_axis(bs3, sel1, axis=1)     # 3x3 scores there
-        sub = np.argsort(-b3, axis=1)[:, :nb2]
-        final = np.take_along_axis(sel1, sub, axis=1)
-        rec, hit = recall_of(final)
-        # how much of the one-tier selection does tier-1 cover?
-        cover = np.mean([np.isin(order3[b, :nb2], sel1[b]).mean()
-                         for b in range(n_star)])
-        cols = (5.0 * n_real + 9.0 * K1) / (9.0 * n_real)
-        M_PROD = 750_000        # production grid size
-        cols_prod = (5.0 * M_PROD + 9.0 * K1) / (9.0 * M_PROD)
-        print(f"two-tier K1={K1:6d}: min={rec.min():.4f} "
-              f"p10={np.percentile(rec, 10):.4f} mean={rec.mean():.4f} "
-              f"hit={hit:.3f} block-cover={cover:.4f} "
-              f"cols={cols:.2f}x (test grid M={n_real}; "
-              f"{cols_prod:.2f}x at M=750k)", flush=True)
+      for K1 in (16384, 32768, 49152, 65536, 131072):
+          nb1 = K1 // block
+          # tier-1: top-nb1 blocks by the 2x2 score; tier-2: re-rank
+          # those blocks by the exact 3x3 BLOCK score, keep nb2.
+          sel1 = order2[:, :nb1]                         # (n_star, nb1)
+          b3 = np.take_along_axis(bs3, sel1, axis=1)     # 3x3 scores there
+          sub = np.argsort(-b3, axis=1)[:, :nb2]
+          final = np.take_along_axis(sel1, sub, axis=1)
+          rec, hit = recall_of(final)
+          # how much of the one-tier selection does tier-1 cover?
+          cover = np.mean([np.isin(order3[b, :nb2], sel1[b]).mean()
+                           for b in range(n_star)])
+          cols = (5.0 * n_real + 9.0 * K1) / (9.0 * n_real)
+          M_PROD = 750_000        # production grid size
+          cols_prod = (5.0 * M_PROD + 9.0 * K1) / (9.0 * M_PROD)
+          print(f"two-tier K1={K1:6d}: min={rec.min():.4f} "
+                f"p10={np.percentile(rec, 10):.4f} mean={rec.mean():.4f} "
+                f"hit={hit:.3f} block-cover={cover:.4f} "
+                f"cols={cols:.2f}x (test grid M={n_real}; "
+                f"{cols_prod:.2f}x at M=750k)", flush=True)
 
 
 if __name__ == "__main__":
