@@ -200,6 +200,11 @@ class PosteriorConfig:
     # priors, doubled each pass; fixed pass count for static control flow.
     psd_width: float = 0.02
     psd_max_passes: int = 8
+    # Diagnostic-only knockouts for in-pipeline cost attribution
+    # (comma-set, e.g. "gal,dust"): skips that prior IN PLACE in the
+    # select stage.  Results are scientifically wrong; never set in
+    # production (scratch/profile_select_knockout.py).
+    debug_skip: str = ""
     mvn_eps: float = 1e-30             # Cholesky jitter (utils.py:845)
     # Generate the MC draws inside the fused kernel (Box-Muller from
     # the TPU hardware PRNG) instead of feeding threefry normals in:

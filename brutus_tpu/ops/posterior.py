@@ -206,13 +206,18 @@ def _select_stage(results, lnprior_grid, coord,
     # built-ins (the reference passes `labels`/`dustfile`; here labels
     # arrive as feh/loga arrays and the sightline profile is
     # pre-queried — see README divergences).
-    if lngalprior is not None:
+    skip = set(cfg.debug_skip.split(",")) if cfg.debug_skip else set()
+    if "gal" in skip:
+        pass                           # diagnostic knockout only
+    elif lngalprior is not None:
         lnp_mle = lnp_mle + lngalprior(dist, coord, feh=feh_s,
                                        loga=loga_s)
     else:
         lnp_mle = lnp_mle + gal_lnprior(dist, coord, feh=feh_s,
                                         loga=loga_s, cfg=gal_cfg)
-    if apply_av_prior and dust_profile is not None:
+    if "dust" in skip:
+        pass
+    elif apply_av_prior and dust_profile is not None:
         av_dist, av_mean, av_std = dust_profile
         if lndustprior is not None:
             lnp_mle = lnp_mle + lndustprior(dist, av, av_dist, av_mean,
@@ -652,6 +657,16 @@ def lnpost_batch(keys, results, lnprior_grid, coord,
         if parallax is None:
             parallax = jnp.full((B,), jnp.nan)
             parallax_err = jnp.full((B,), jnp.nan)
+        if dust_profile is not None:
+            # Same shared-profile broadcast as the fused branch below:
+            # av_mean/av_std may be per-star (B, Nd) or shared (Nd,).
+            av_dist, av_mean, av_std = dust_profile
+            nd = av_dist.shape[0]
+            dust_profile = (av_dist,
+                            jnp.broadcast_to(jnp.atleast_2d(av_mean),
+                                             (B, nd)),
+                            jnp.broadcast_to(jnp.atleast_2d(av_std),
+                                             (B, nd)))
         dp_axes = ((None, 0, 0) if dust_profile is not None else None)
         return jax.vmap(
             lambda key, res, lp, co, px, pe, f_, la, gi, dp: fn(

@@ -46,10 +46,11 @@ variants = [
     ("gather_prefix (baseline)", dict(), True, None, None, "gather"),
     ("full select", dict(), True, None, None, "select"),
     ("no_dust", dict(), False, None, None, "select"),
-    ("trivial_gal", dict(), True, ZEROG, None, "select"),
-    ("trivial_dust", dict(), True, None, ZEROD, "select"),
-    ("no_prefilter(K=P)", dict(prefilter_k=0), True, None, None,
+    ("skip_gal (in-place)", dict(debug_skip="gal"), True, None, None,
      "select"),
+    ("skip_gal_dust (in-place)", dict(debug_skip="gal,dust"), True,
+     None, None, "select"),
+    ("full through mc", dict(), True, None, None, "mc"),
 ]
 
 for name, kw, use_dust, lgal, ldust, stop in variants:
@@ -70,7 +71,7 @@ for name, kw, use_dust, lgal, ldust, stop in variants:
                             parallax=p, parallax_err=pe,
                             feh=aux["feh"], loga=aux["loga"],
                             dust_profile=dp, global_idx=gidx,
-                            cfg=post_cfg, stop_after="select",
+                            cfg=post_cfg, stop_after=stop,
                             lngalprior=lgal, lndustprior=ldust)
 
     jstep = jax.jit(stepfn)

@@ -493,6 +493,46 @@ def test_lnpost_cdf_threshold_mode():
     assert best in np.asarray(out["sel_idx"])[np.asarray(out["valid_sel"])]
 
 
+def test_custom_prior_shared_dust_profile():
+    """Regression: `lnpost_batch` with a custom prior callable must
+    accept a SHARED `(Nd,)` dust profile exactly like the fused branch
+    does (it previously raised a vmap axis-size error; found by the
+    select-stage knockout profiler)."""
+    from brutus_tpu.ops.posterior import lnpost_batch
+    trng = np.random.default_rng(77)
+    n_star = 3
+    flux = np.zeros((n_star, NFILT))
+    errs = np.zeros((n_star, NFILT))
+    for i in range(n_star):
+        flux[i], errs[i] = make_star(MC, 40 + 7 * i, 0.3, 3.1,
+                                     1.0 + 0.3 * i, rng=trng)
+    res = jax.vmap(lambda f, e: loglike_grid(
+        f, e, jnp.ones(NFILT, bool), jnp.asarray(MC), cfg=FitConfig()))(
+            jnp.asarray(flux), jnp.asarray(errs))
+    keys = jax.random.split(jax.random.PRNGKey(3), n_star)
+    lp = jnp.zeros((n_star, NMODEL))
+    coord = jnp.broadcast_to(jnp.asarray(COORD), (n_star, 2))
+    lngal = lambda dist, coord, feh=None, loga=None: -dist
+    dust_dist = jnp.linspace(0.05, 5.0, 16)
+    dust_mean = jnp.linspace(0.0, 1.0, 16)
+    dust_std = jnp.full(16, 0.2)
+    cfg = PosteriorConfig(n_sel_max=64, prefilter_k=64, n_mc_prior=8,
+                          n_draws=16)
+    out_shared = lnpost_batch(
+        keys, res, lp, coord, dust_profile=(dust_dist, dust_mean,
+                                            dust_std),
+        cfg=cfg, lngalprior=lngal)
+    out_tiled = lnpost_batch(
+        keys, res, lp, coord,
+        dust_profile=(dust_dist,
+                      jnp.tile(dust_mean, (n_star, 1)),
+                      jnp.tile(dust_std, (n_star, 1))),
+        cfg=cfg, lngalprior=lngal)
+    np.testing.assert_allclose(np.asarray(out_shared["log_evidence"]),
+                               np.asarray(out_tiled["log_evidence"]),
+                               rtol=1e-6)
+
+
 def test_custom_prior_callables():
     """Reference parity (fitting.py:870-881): `fit` accepts
     jax-traceable `lngalprior(dist, coord, feh=, loga=)` and
