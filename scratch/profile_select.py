@@ -1,4 +1,11 @@
-"""Attribute the posterior 'select' stage cost on TPU (VERDICT item 6).
+"""DEPRECATED — DO NOT TRUST: synthetic-input timing through the
+tunnel backend reads garbage (pure-XLA executions are deferred/served
+from caches even under block_until_ready; measured a 0.19 ms "full
+stage" smaller than its own parts).  Use
+scratch/profile_select_knockout.py (in-pipeline config knockouts) or
+value-fetch timing (scratch/screen_xla_timing.py) instead.
+
+Original docstring: Attribute the posterior select stage cost on TPU.
 
 Stages synthetic funnel fit-stage outputs (B, P) on device (the select
 stage's cost depends only on shapes) and times the full pre-stage plus

@@ -1,5 +1,12 @@
-"""What bounds the screening kernel: MXU column streaming, the VPU
-score math, or HBM table reads?
+"""DEPRECATED — DO NOT TRUST: both the plain and the scan-chained
+variants read physically impossible numbers through the tunnel backend
+(executions elided; a warmup sharing inputs with the timed run is
+always served from cache).  The question was settled IN-PIPELINE
+instead: `bench.py --loglike-only --screen-score debug_lin` == full
+(VPU score math is free) and `--screen-matmul split` vs `wide` (+8%).
+
+Original docstring: What bounds the screening kernel: MXU column
+streaming, the VPU score math, or HBM table reads?
 
 Times three Pallas variants at the production shapes (B=128 stars,
 M=750k models, tile=512, bf16 tables identical in layout to
