@@ -672,6 +672,13 @@ def main():
         # full fit; likelihood argmax for --loglike-only).
         "true_model_hit_rate": round(float(hit), 4),
     }
+    if args.screen == 12288 and not args.loglike_only:
+        result["note"] = (
+            "round-4 recall-sized defaults: screen_k 8192->12288 "
+            "raises correlated-grid worst-star recall 0.82->0.96 "
+            "(RECALL.json) at a measured ~13-15% throughput cost; "
+            "r03's 5590 stars/s headline ran at the 0.82-recall "
+            "config")
     result.update(verify_info)
     result.update(corr_info)
     result.update(breakdown_info)
