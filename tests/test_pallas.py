@@ -163,6 +163,36 @@ def test_screened_funnel_matches_dense():
         assert lnl[pad_rows].max() < -1e29
 
 
+def test_screen_matmul_variants_agree():
+    """`screen_matmul='wide'` and `'split'` issue the same per-column
+    contractions in different dot groupings — results must agree
+    exactly (every output element is the same single-pass K=48/96
+    accumulation)."""
+    from brutus_tpu.ops.pallas_loglike import (prepare_screen,
+                                               loglike_grid_screened)
+    rng = np.random.default_rng(211)
+    mc, flux, err, idx, _ = _problem(n_model=1024, n_star=4, rng=rng)
+    mask = np.ones(flux.shape, bool)
+    M = len(mc)
+    outs = {}
+    for variant in ("wide", "split"):
+        cfg = FitConfig(dim_prior=False, screen_matmul=variant)
+        st, packed, names, n_real, maskrow = prepare_screen(
+            mc, aux=dict(lnprior=np.zeros(M, np.float32)), tile=128,
+            screen_block=64)
+        outs[variant] = loglike_grid_screened(
+            jnp.asarray(flux), jnp.asarray(err), jnp.asarray(mask),
+            st, packed, maskrow, n_real, cfg=cfg, tile=128,
+            screen_k=256, screen_block=64, aux_names=names,
+            interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(outs["wide"]["global_idx"]),
+        np.asarray(outs["split"]["global_idx"]))
+    np.testing.assert_allclose(np.asarray(outs["wide"]["lnlike"]),
+                               np.asarray(outs["split"]["lnlike"]),
+                               rtol=1e-6)
+
+
 @pytest.mark.slow
 def test_bruteforce_screened_engine():
     """BruteForce engine='fused' + screen_k < M routes through the
