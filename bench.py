@@ -93,7 +93,7 @@ def main():
     ap.add_argument("--models", type=int, default=750_000)
     ap.add_argument("--filters", type=int, default=8)
     ap.add_argument("--batch", type=int, default=128)
-    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--nmc", type=int, default=50)
     ap.add_argument("--ndraws", type=int, default=250)
     ap.add_argument("--nsel", type=int, default=2048)
