@@ -136,6 +136,11 @@ def main():
                     help="diagnostic screen-score variant (debug_lin "
                          "keeps the matmuls, drops the VPU solve; "
                          "results are meaningless)")
+    ap.add_argument("--scan-batches", type=int, default=4,
+                    help="fused funnel: star batches per dispatch "
+                         "(lax.scan); amortizes per-dispatch host "
+                         "overhead (a device trace showed ~7 ms/batch "
+                         "of it through the tunnel)")
     ap.add_argument("--screen-matmul", choices=["wide", "split"],
                     default="split",
                     help="screen kernel matmul issue shape (split = "
@@ -154,6 +159,7 @@ def main():
 
     if args.smoke:
         args.models, args.batch, args.iters = 2048, 4, 2
+        args.scan_batches = min(args.scan_batches, 2)
         args.nsel = 256
         args.screen = min(args.screen, 512)
 
@@ -372,6 +378,24 @@ def main():
                 return jstep(coeffs_t, packed, maskrow, keys, f, e,
                              plx, plx_err)
 
+            @jax.jit
+            def jscan(ct, pk, mr, keys_s, f_s, e_s, p_s, pe_s):
+                # N batches per dispatch: a device trace showed the
+                # step's DEVICE time is ~17 ms/batch while the wall
+                # was ~24 — the gap is per-dispatch host/tunnel
+                # overhead, which a lax.scan amortizes to 1/N.
+                def body(_, xs):
+                    return 0, step_fn(ct, pk, mr, *xs)
+
+                return jax.lax.scan(
+                    body, 0, (keys_s, f_s, e_s, p_s, pe_s))[1]
+
+            def step_scan(keys_s, f_s, e_s, p_s, pe_s):
+                return jscan(coeffs_t, packed, maskrow, keys_s, f_s,
+                             e_s, p_s, pe_s)
+
+            step.scan = step_scan
+
             def bind_grid(mc_b, feh_b, loga_b):
                 """Same compiled step over a different same-shape grid
                 (same shapes -> the jit cache serves it; ~0 compile)."""
@@ -494,26 +518,48 @@ def main():
             }
         print(f"# verify vs {other}: {verify_info}", file=sys.stderr)
 
-    # Distinct star batches per iteration, staged on device up front:
+    # Distinct star batches per iteration, staged on device up front
+    # (keys included — host-side threefry splitting measured 3-6 ms
+    # per call in the device trace and is not part of the pipeline):
     # repeated identical inputs can be served from backend caches and
     # inflate the result; real fitting streams fresh stars every batch.
     batches = []
     for i in range(args.iters):
         f_i, e_i, _, p_i, pe_i = build_stars(mc, B, seed=1000 + i)
-        batches.append((jnp.asarray(f_i), jnp.asarray(e_i),
+        keys_i = jax.random.split(jax.random.PRNGKey(i + 1), B)
+        batches.append((keys_i, jnp.asarray(f_i), jnp.asarray(e_i),
                         jnp.asarray(p_i), jnp.asarray(pe_i)))
     jax.block_until_ready(batches)
 
-    t0 = time.perf_counter()
-    outs_t = []
-    for i in range(args.iters):
-        keys = jax.random.split(jax.random.PRNGKey(i + 1), B)
-        f_i, e_i, p_i, pe_i = batches[i]
-        outs_t.append(step(keys, f_i, e_i, p_i, pe_i))
-    jax.block_until_ready(outs_t)
-    dt = time.perf_counter() - t0
+    n_scan = max(1, args.scan_batches)
+    if n_scan > 1 and hasattr(step, "scan"):
+        # Stack the staged batches and run `scan_batches` per dispatch.
+        groups = []
+        for g in range(0, args.iters - args.iters % n_scan, n_scan):
+            groups.append(tuple(
+                jnp.stack([batches[g + j][k] for j in range(n_scan)])
+                for k in range(5)))
+        jax.block_until_ready(groups)
+        warm = tuple(
+            jnp.stack([batches[0][k]] * n_scan) for k in range(5))
+        jax.block_until_ready(step.scan(*warm))
+        t0 = time.perf_counter()
+        outs_t = [step.scan(*g) for g in groups]
+        jax.block_until_ready(outs_t)
+        dt = time.perf_counter() - t0
+        n_done = len(groups) * n_scan
+        stars_per_sec = B * n_done / dt
+    else:
+        t0 = time.perf_counter()
+        outs_t = []
+        for i in range(args.iters):
+            outs_t.append(step(*batches[i]))
+        jax.block_until_ready(outs_t)
+        dt = time.perf_counter() - t0
+        n_done = args.iters
 
-    stars_per_sec = B * args.iters / dt
+    if n_scan <= 1 or not hasattr(step, "scan"):
+        stars_per_sec = B * n_done / dt
     ref_secs_per_star = 1.716          # BASELINE.md, Overview 3 MIST grid
 
     # --- per-stage breakdown (funnel engine): time cumulative stage
