@@ -104,7 +104,7 @@ def _select_stage(results, lnprior_grid, coord,
                   parallax, parallax_err, feh, loga, dust_profile,
                   cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
                   dust_cfg: DustPriorConfig, apply_av_prior,
-                  lngalprior=None, lndustprior=None):
+                  lngalprior=None, lndustprior=None, global_idx=None):
     """Culls + priors + top-K selection + PSD repair — everything of
     `lnpost_grid` before the Monte-Carlo integration (reference
     `brutus/fitting.py:823-1065` + the chi2/Ndim bookkeeping of
@@ -168,6 +168,13 @@ def _select_stage(results, lnprior_grid, coord,
                               icov[:, 2, 2], icov[:, 0, 1],
                               icov[:, 0, 2], icov[:, 1, 2])
             fields.extend((rv, chi2) + parts_full)
+        if global_idx is not None:
+            # Ride the local->grid index map through the SAME pack as
+            # an f32 field (exact below 2^24): the standalone
+            # `global_idx[sel_idx]` element-gather was the single most
+            # expensive op of the posterior stage on a device trace
+            # (2.7 ms/batch vs 1.9 for this whole pack fusion).
+            fields.append(global_idx.astype(dtype))
         packed = jnp.stack(fields, axis=-1)[pre_idx]
         lnlike, scale, av, lnprob, lnprior_grid = (
             packed[:, 0], packed[:, 1], packed[:, 2], packed[:, 3],
@@ -181,8 +188,11 @@ def _select_stage(results, lnprior_grid, coord,
         if merge_tail:
             rv_pre, chi2_pre = packed[:, c], packed[:, c + 1]
             icov_pre = tuple(packed[:, c + 2 + i] for i in range(6))
+            c += 8
+        gidx_pre = packed[:, c] if global_idx is not None else None
     else:
         pre_idx = None
+        gidx_pre = None
         feh_s, loga_s = feh, loga
     K = min(K, lnprob.shape[0])
 
@@ -291,7 +301,17 @@ def _select_stage(results, lnprior_grid, coord,
     chi2min = jnp.where(jnp.isfinite(chi2min_v), chi2min_v,
                         jnp.min(chi2_fin))
 
+    # Local-to-grid index map of the selection: from the pack when it
+    # rode the prefilter, else the explicit (expensive) gather.
+    if gidx_pre is not None:
+        sel_gidx = jnp.round(take_local(gidx_pre)).astype(jnp.int32)
+    elif global_idx is not None:
+        sel_gidx = global_idx[sel_idx]
+    else:
+        sel_gidx = sel_idx
+
     return dict(lnp_sel=lnp_sel, valid=valid, sel_idx=sel_idx,
+                sel_gidx=sel_gidx,
                 scale_k=scale_k, av_k=av_k, rv_k=rv_k, icov_p=icov_p,
                 chi2_k=chi2_k, ndim=ndim_out, chi2min=chi2min,
                 feh_k=feh_k, loga_k=loga_k)
@@ -336,7 +356,8 @@ def lnpost_grid(key, results, lnprior_grid, coord,
     sel = _select_stage(results, lnprior_grid, coord, parallax,
                         parallax_err, feh, loga, dust_profile,
                         cfg, gal_cfg, dust_cfg, apply_av_prior,
-                        lngalprior=lngalprior, lndustprior=lndustprior)
+                        lngalprior=lngalprior, lndustprior=lndustprior,
+                        global_idx=global_idx)
     (lnp_sel, valid, sel_idx, scale_k, av_k, rv_k, icov_p, chi2_k,
      ndim_out, chi2min, feh_k, loga_k) = (
         sel["lnp_sel"], sel["valid"], sel["sel_idx"], sel["scale_k"],
@@ -412,7 +433,7 @@ def lnpost_grid(key, results, lnprior_grid, coord,
     gat = lambda x: x[idxs]
     draw = lambda x: x[idxs, imc]
 
-    sel_out = global_idx[sel_idx] if global_idx is not None else sel_idx
+    sel_out = sel['sel_gidx']
     return dict(
         model_idx=sel_out[idxs],
         scale=gat(scale_k), av=gat(av_k), rv=gat(rv_k),
@@ -452,7 +473,9 @@ def _batch_fns(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
         profile = (av_dist, av_mean, av_std) if has_dust else None
         sel = _select_stage(results, lnprior_grid, coord, parallax,
                             parallax_err, feh, loga, profile,
-                            cfg, gal_cfg, dust_cfg, apply_av_prior)
+                            cfg, gal_cfg, dust_cfg, apply_av_prior,
+                            global_idx=global_idx if has_global
+                            else None)
         dtype = sel["lnp_sel"].dtype
         K = sel["lnp_sel"].shape[0]
         kmvn, kidx, kmc = jax.random.split(key, 3)
@@ -592,8 +615,7 @@ def _batch_fns(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
         ohm = (imc[:, None]
                == jnp.arange(nmc, dtype=jnp.int32)[None, :]).astype(dtype)
         pick = lambda lo: jnp.sum(dmr[:, lo:lo + nmc] * ohm, axis=1)
-        sel_idx = sel["sel_idx"]
-        sel_out = global_idx[sel_idx] if has_global else sel_idx
+        sel_out = sel["sel_gidx"]
         # int32 indices ride the one-hot matmul as f32 (exact < 2^24).
         midx = jnp.matmul(oh, sel_out.astype(dtype)[:, None],
                           precision=hi)[:, 0]
