@@ -531,8 +531,14 @@ def main():
                         jnp.asarray(p_i), jnp.asarray(pe_i)))
     jax.block_until_ready(batches)
 
-    n_scan = max(1, args.scan_batches)
+    # Clamp so `--iters < --scan-batches` still does timed work, and
+    # surface any leftover batches the grouping drops.
+    n_scan = max(1, min(args.scan_batches, args.iters))
     if n_scan > 1 and hasattr(step, "scan"):
+        if args.iters % n_scan:
+            print(f"# note: dropping {args.iters % n_scan} staged "
+                  f"batch(es) not filling a scan group of {n_scan}",
+                  file=sys.stderr)
         # Stack the staged batches and run `scan_batches` per dispatch.
         groups = []
         for g in range(0, args.iters - args.iters % n_scan, n_scan):

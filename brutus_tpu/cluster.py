@@ -120,6 +120,14 @@ def _cluster_core(xgrid, ygrid, nn_params, eep_grid, grad_smf_log,
     # — no (Npts, Nobj, F) residual tensor is ever materialized.
     # HIGHEST precision: the terms are O(SNR^2) and cancel to O(1);
     # bf16 operand noise would scramble the EEP logsumexp.
+    # f32 SAFETY ENVELOPE: even at HIGHEST precision the cancellation
+    # leaves an absolute chi2 error ~ eps_f32 * SNR^2 * F on f32
+    # backends (TPU).  Measured against the explicit f64 residual
+    # (tests/test_applications.py::test_cluster_chi2_f32_envelope,
+    # F=8): ~0.05 at SNR=100, ~0.4 at SNR=300, ~40 at SNR=3000.
+    # Survey photometry (SNR <~ 100-300) is safe — the error is well
+    # below the per-star chi2 information scale; for SNR >~ 1000 the
+    # EEP logsumexp weights shift O(1) — run the f64 CPU path there.
     hi = jax.lax.Precision.HIGHEST
     mm = (cmd * cmd * okf).reshape(-1, n_f)
     mo = (cmd * okf).reshape(-1, n_f)
@@ -337,6 +345,15 @@ def fit_cluster(isochrone, phot, err, cluster_params="free",
     (n_steps - n_burn, n_walkers, ndim_free)` and `chain_logl`.
     """
     from .sampling import ensemble_sample, chain_diagnostics
+
+    if cluster_params == "fixed":
+        # Unlike offsets/corr_params, the 6 cluster parameters have no
+        # meaningful defaults — "fixed" would leave them NaN and every
+        # likelihood -inf.  Pass explicit values to fix them instead.
+        raise ValueError(
+            'cluster_params="fixed" is not valid for fit_cluster: the '
+            "cluster parameters have no defaults.  Pass a 6-tuple of "
+            "values (None entries stay free) to fix them.")
 
     (phot_c, err_c, phot_mask, phot_n, lnl_outlier, plx, pivar,
      n_bands) = _prepare_cluster_data(phot, err, parallax, parallax_err,

@@ -205,6 +205,13 @@ class PosteriorConfig:
     # select stage.  Results are scientifically wrong; never set in
     # production (scratch/profile_select_knockout.py).
     debug_skip: str = ""
+    # Ride the local->grid index map through the prefilter pack as an
+    # f32 field (saves the most expensive gather of the select stage,
+    # see ops/posterior.py).  f32 represents integers exactly only
+    # below 2**24 (~16.7M models); `BruteForce.fit` auto-disables this
+    # when the grid exceeds that, falling back to the explicit int
+    # gather so indices are never silently rounded.
+    pack_gidx_f32: bool = True
     mvn_eps: float = 1e-30             # Cholesky jitter (utils.py:845)
     # Generate the MC draws inside the fused kernel (Box-Muller from
     # the TPU hardware PRNG) instead of feeding threefry normals in:

@@ -345,6 +345,63 @@ def _screened_step_xla(fit_cfg, post_cfg, gal_cfg, dust_cfg,
     return step
 
 
+@lru_cache(maxsize=32)
+def _jscan_factory(jstep, n_tab, has_dust, has_ext):
+    """Jitted `lax.scan` of `jstep` over a leading batch-group axis.
+
+    `jstep(*tables, keys, flux, err, mask, plx, plx_err, coord,
+    dust_mean, dust_std, dust_dist, ext_lnl)` is the single-batch
+    compiled step; the scanned variant takes the same arguments with
+    the per-batch ones stacked `(S, B, ...)` (the shared `dust_dist`
+    ladder stays unstacked) and runs S batches in ONE dispatch,
+    amortizing the per-call host/tunnel latency that dominated slow
+    phases (bench `--scan-batches`: 6434 stars/s scanned vs 363
+    unscanned in the same phase).  Outputs are flattened to
+    `(S * B, ...)` so the streaming writer is unchanged."""
+
+    @jax.jit
+    def jscan(*args):
+        tabs, dd, xs = args[:n_tab], args[n_tab], args[n_tab + 1:]
+
+        def body(c, x):
+            keys, f, e, m, px, pe, co = x[:7]
+            i = 7
+            dm = ds = el = None
+            if has_dust:
+                dm, ds = x[i], x[i + 1]
+                i += 2
+            if has_ext:
+                el = x[i]
+            return c, jstep(*tabs, keys, f, e, m, px, pe, co,
+                            dm, ds, dd, el)
+
+        outs = jax.lax.scan(body, 0, tuple(xs))[1]
+        return jax.tree_util.tree_map(
+            lambda a: a.reshape((a.shape[0] * a.shape[1],) + a.shape[2:]),
+            outs)
+
+    return jscan
+
+
+def _make_scan_call(jstep, tables):
+    """Bind `_jscan_factory` to a step's grid tables, exposing the same
+    11-argument signature as the per-batch `step` closure."""
+
+    def scan_call(keys, flux, err, mask, plx, plx_err, coord,
+                  dust_mean, dust_std, dust_dist, ext_lnl):
+        has_dust = dust_mean is not None
+        has_ext = ext_lnl is not None
+        jscan = _jscan_factory(jstep, len(tables), has_dust, has_ext)
+        xs = [keys, flux, err, mask, plx, plx_err, coord]
+        if has_dust:
+            xs += [dust_mean, dust_std]
+        if has_ext:
+            xs += [ext_lnl]
+        return jscan(*tables, dust_dist, *xs)
+
+    return scan_call
+
+
 class BruteForce:
     """Grid-scan fitter over `(Nmodel, Nfilt, 3)` magnitude coefficients.
 
@@ -444,6 +501,11 @@ class BruteForce:
                              mask, plx, plx_err, coord, dust_mean,
                              dust_std, dust_dist, ext_lnl)
 
+            if mesh is None:
+                # Scanned variant (`fit(scan_batches=N)`): N batches
+                # per dispatch; sharded steps are not scannable.
+                step.scan = _make_scan_call(jstep,
+                                            (tabw, tabc, packed_b))
             return step
 
         if engine == "fused_screen":
@@ -604,7 +666,11 @@ class BruteForce:
                                    wt_thresh=wt_thresh,
                                    cdf_thresh=cdf_thresh, n_draws=Ndraws,
                                    avlim=tuple(avlim), rvlim=tuple(rvlim),
-                                   n_sel_max=min(n_sel_max, self.NMODEL))
+                                   n_sel_max=min(n_sel_max, self.NMODEL),
+                                   # f32 can carry grid indices exactly
+                                   # only below 2**24: larger grids fall
+                                   # back to the explicit int gather.
+                                   pack_gidx_f32=self.NMODEL < 2 ** 24)
         gal_cfg = lngalprior_cfg or GalPriorConfig()
         dust_cfg = dust_cfg or DustPriorConfig()
 

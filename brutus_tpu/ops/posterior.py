@@ -168,12 +168,15 @@ def _select_stage(results, lnprior_grid, coord,
                               icov[:, 2, 2], icov[:, 0, 1],
                               icov[:, 0, 2], icov[:, 1, 2])
             fields.extend((rv, chi2) + parts_full)
-        if global_idx is not None:
+        pack_gidx = global_idx is not None and cfg.pack_gidx_f32
+        if pack_gidx:
             # Ride the local->grid index map through the SAME pack as
-            # an f32 field (exact below 2^24): the standalone
-            # `global_idx[sel_idx]` element-gather was the single most
-            # expensive op of the posterior stage on a device trace
-            # (2.7 ms/batch vs 1.9 for this whole pack fusion).
+            # an f32 field (exact below 2^24; `cfg.pack_gidx_f32` is
+            # auto-disabled by `BruteForce.fit` for larger grids): the
+            # standalone `global_idx[sel_idx]` element-gather was the
+            # single most expensive op of the posterior stage on a
+            # device trace (2.7 ms/batch vs 1.9 for this whole pack
+            # fusion).
             fields.append(global_idx.astype(dtype))
         packed = jnp.stack(fields, axis=-1)[pre_idx]
         lnlike, scale, av, lnprob, lnprior_grid = (
@@ -189,7 +192,7 @@ def _select_stage(results, lnprior_grid, coord,
             rv_pre, chi2_pre = packed[:, c], packed[:, c + 1]
             icov_pre = tuple(packed[:, c + 2 + i] for i in range(6))
             c += 8
-        gidx_pre = packed[:, c] if global_idx is not None else None
+        gidx_pre = packed[:, c] if pack_gidx else None
     else:
         pre_idx = None
         gidx_pre = None

@@ -189,6 +189,63 @@ def test_fit_cluster_recovers_params(isofile, nnfile):
     assert out["tau"].shape == (4,) and np.isfinite(out["rhat"]).all()
 
 
+def test_fit_cluster_rejects_fixed_cluster_params(isofile, nnfile):
+    """`cluster_params="fixed"` has no default values to fix to — it
+    must raise instead of silently sampling against an all-NaN theta
+    (every likelihood -inf)."""
+    from brutus_tpu.models import Isochrone
+    from brutus_tpu.cluster import fit_cluster
+    iso = Isochrone(filters=FILTERS, nnfile=nnfile[0], mistfile=isofile,
+                    verbose=False)
+    phot = np.abs(rng.normal(1.0, 0.1, (5, NF)))
+    err = phot * 0.02
+    with pytest.raises(ValueError, match="cluster_params"):
+        fit_cluster(iso, phot, err, cluster_params="fixed",
+                    offsets="free", n_steps=4, n_burn=2)
+
+
+def test_cluster_chi2_f32_envelope():
+    """Verifies the f32 safety envelope documented in `cluster.py`: the
+    decomposed chi2 (m^2 w - 2 m.dw + d2w) cancels O(SNR^2) matmul
+    terms to O(1), so its f32 error grows ~ eps_f32 * SNR^2 per band —
+    negligible at survey SNR (<~ 300), O(1) only beyond SNR ~ 2000.
+    The explicit-residual formulation from the SAME f32 inputs stays
+    exact, isolating cancellation (not representation) error."""
+    import jax
+    import jax.numpy as jnp
+    r = np.random.default_rng(11)
+    n_pts, n_obj, F = 64, 16, 8
+    model = r.uniform(0.5, 2.0, (n_pts, F))
+    data = model[r.integers(0, n_pts, n_obj)] \
+        * (1.0 + r.normal(0, 1e-3, (n_obj, F)))
+    hi = jax.lax.Precision.HIGHEST
+    m32 = jnp.asarray(model, jnp.float32)
+    d32 = jnp.asarray(data, jnp.float32)
+    errs = {}
+    for snr in (100.0, 300.0, 3000.0):
+        w = jnp.asarray((snr / data) ** 2, jnp.float32)
+        dw, d2w = d32 * w, d32 ** 2 * w
+        chi2_dec = (jnp.matmul(m32 ** 2, w.T, precision=hi)
+                    - 2.0 * jnp.matmul(m32, dw.T, precision=hi)
+                    + jnp.matmul(jnp.ones_like(m32), d2w.T,
+                                 precision=hi))
+        # Ground truth: explicit residual in float64 from the same
+        # (f32-representable) inputs.
+        m64 = np.asarray(m32, np.float64)
+        d64, w64 = np.asarray(d32, np.float64), np.asarray(w, np.float64)
+        chi2_ref = ((d64[None] - m64[:, None]) ** 2
+                    * w64[None]).sum(-1)
+        errs[snr] = float(np.max(np.abs(np.asarray(chi2_dec, np.float64)
+                                        - chi2_ref)))
+    # Survey SNR: chi2 error well below the per-star information
+    # scale (measured ~0.05 at SNR=100, ~0.4 at SNR=300).
+    assert errs[100.0] < 0.2, errs
+    assert errs[300.0] < 1.5, errs
+    # Error grows ~SNR^2: the high-SNR regime is measurably worse,
+    # confirming the documented envelope rather than a vacuous bound.
+    assert errs[3000.0] > 5 * errs[300.0], errs
+
+
 # --- photometric offsets --------------------------------------------------
 
 def test_photometric_offsets():

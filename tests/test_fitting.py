@@ -432,6 +432,31 @@ def test_lnpost_prefilter_equivalence():
                - float(out_pre["log_evidence"])) < 0.3
 
 
+def test_pack_gidx_f32_fallback_matches():
+    """`pack_gidx_f32=False` (the >=2**24-model fallback that avoids
+    riding grid indices through the f32 prefilter pack) must produce
+    identical selections and emitted `model_idx` to the packed path."""
+    flux, err = make_star(MC, 77, 0.4, 3.1, 1.2)
+    res = loglike_grid(jnp.asarray(flux), jnp.asarray(err),
+                       jnp.ones(NFILT, bool), jnp.asarray(MC),
+                       cfg=FitConfig())
+    gidx = jnp.asarray(np.random.default_rng(9).permutation(NMODEL),
+                       jnp.int32)
+    outs = {}
+    for pack in (True, False):
+        outs[pack] = lnpost_grid(
+            jax.random.PRNGKey(2), res, jnp.zeros(NMODEL),
+            jnp.asarray(COORD), global_idx=gidx,
+            cfg=PosteriorConfig(n_sel_max=64, prefilter_k=64,
+                                n_mc_prior=16, n_draws=64,
+                                pack_gidx_f32=pack))
+    np.testing.assert_array_equal(np.asarray(outs[True]["model_idx"]),
+                                  np.asarray(outs[False]["model_idx"]))
+    np.testing.assert_allclose(
+        float(outs[True]["log_evidence"]),
+        float(outs[False]["log_evidence"]), rtol=1e-6)
+
+
 @pytest.mark.slow
 def test_select_stage_merged_prefilter_pack():
     """`prefilter_k == n_sel_max` (the shipped default relation): the
