@@ -522,6 +522,11 @@ class BruteForce:
                              mask, plx, plx_err, coord, dust_mean,
                              dust_std, dust_dist, ext_lnl)
 
+            if mesh is None:
+                # Scanned variant (`fit(scan_batches=N)`): N batches
+                # per dispatch; sharded steps are not scannable.
+                step.scan = _make_scan_call(jstep,
+                                            (coeffs_t, packed, maskrow))
             return step
 
         def post_step(key, res, plx, plx_err, coord,
@@ -600,7 +605,7 @@ class BruteForce:
             batch_size=16, n_sel_max=2048, seed=0, resume=False,
             return_results=False, return_sel=False, mesh=None,
             engine=None, tile=512, screen_k=None, screen_block=None,
-            mag_direct_init=True,
+            mag_direct_init=True, scan_batches=1,
             _yield_batches=False):
         """Fit every star against the grid and write the results file.
 
@@ -611,7 +616,11 @@ class BruteForce:
         (restart from a partial results file), `engine` (None = auto:
         the fused Pallas kernel on TPU whenever the grid fits per
         device, the XLA/GSPMD path otherwise), `tile` (fused kernel
-        model-tile width).
+        model-tile width), `scan_batches` (N star batches per device
+        dispatch via `lax.scan` — amortizes per-call host latency,
+        which otherwise dominates behind slow host links; identical
+        output rows to the unscanned path.  Applies to the funnel
+        engines on a single device; silently per-batch otherwise).
 
         Custom priors (reference fitting.py:870-881): `lngalprior` /
         `lndustprior` are jax-TRACEABLE callables replacing the
@@ -963,26 +972,41 @@ class BruteForce:
 
         pending = [None]   # one in-flight batch (device->host overlap)
 
+        # Scanned dispatch (`scan_batches` > 1): group N star batches
+        # into one `lax.scan` call — only where the step exposes a
+        # scanned variant (single-device funnel engines).
+        n_scan = (max(1, int(scan_batches))
+                  if hasattr(step, "scan") and batch_shard is None else 1)
+        chunk = batch_size * n_scan
+        step_call = step.scan if n_scan > 1 else step
+
         def batches_dispatch():
             """Stream `(lo, n_valid, out)` per completed star batch."""
             root_key = jax.random.PRNGKey(seed)
-            for lo in range(start_row, n_data, batch_size):
-                hi = min(lo + batch_size, n_data)
+            for lo in range(start_row, n_data, chunk):
+                hi = min(lo + chunk, n_data)
                 n = hi - lo
-                pad = batch_size - n
+                pad = chunk - n
                 sl = slice(lo, hi)
+
+                def group(x):
+                    """(chunk, ...) -> (n_scan, batch_size, ...)."""
+                    if n_scan == 1:
+                        return x
+                    return x.reshape((n_scan, batch_size) + x.shape[1:])
 
                 def pad_batch(x):
                     x = np.asarray(x[sl])
                     if pad:
                         x = np.concatenate(
                             [x, np.repeat(x[-1:], pad, axis=0)])
+                    x = group(x)
                     if batch_shard is not None:
                         return jax.device_put(x, batch_shard)
                     return jnp.asarray(x)
 
-                keys = jax.vmap(jax.random.fold_in, (None, 0))(
-                    root_key, jnp.arange(lo, lo + batch_size))
+                keys = group(jax.vmap(jax.random.fold_in, (None, 0))(
+                    root_key, jnp.arange(lo, lo + chunk)))
                 args = (keys, pad_batch(data), pad_batch(data_err),
                         pad_batch(data_mask), pad_batch(parallax),
                         pad_batch(parallax_err), pad_batch(data_coords),
@@ -990,7 +1014,7 @@ class BruteForce:
                         pad_batch(dust_std) if apply_av_prior else None,
                         dust_dist,
                         pad_batch(ext_lnl) if ext_lnl is not None else None)
-                out = step(*args)
+                out = step_call(*args)
                 # Pack to two matrices (one fetch round trip each),
                 # start the device->host copies immediately, but only
                 # materialize the PREVIOUS batch: the device computes

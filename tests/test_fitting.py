@@ -309,6 +309,60 @@ def test_bruteforce_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
+def test_fit_scan_batches_identical_rows(tmp_path):
+    """`fit(scan_batches=N)` (lax.scan over N star batches per device
+    dispatch, the production port of bench --scan-batches) must write
+    the SAME result rows as the per-batch path — including ragged
+    final groups (7 stars, batch 2, scan 2 -> one full scan group +
+    padded remainder)."""
+    n_star = 7
+    trng = np.random.default_rng(314)
+    data = np.zeros((n_star, NFILT))
+    errs = np.zeros((n_star, NFILT))
+    for i in range(n_star):
+        data[i], errs[i] = make_star(MC, 5 + 13 * i, 0.3, 3.2,
+                                     0.8 + 0.1 * i, rng=trng)
+    mask = np.ones((n_star, NFILT), bool)
+    coords = np.tile(COORD, (n_star, 1))
+    dustfile = _dustfile(tmp_path, coords)
+    bf = BruteForce(MC, LABELS, LMASK)
+    kw = dict(data_coords=coords, dustfile=dustfile,
+              parallax=np.full(n_star, 1.0),
+              parallax_err=np.full(n_star, 0.05),
+              Nmc_prior=16, Ndraws=64, batch_size=2, n_sel_max=64,
+              screen_k=64, verbose=False, return_results=True)
+    outs = {}
+    for ns in (1, 2):
+        save = str(tmp_path / f"scan{ns}")
+        outs[ns] = bf.fit(data, errs, mask, save_file=save,
+                          scan_batches=ns, **kw)
+        outs[ns]["_file"] = load_results(save)
+    # Same draws (same per-star fold_in keys), same selections.
+    np.testing.assert_array_equal(outs[1]["model_idx"],
+                                  outs[2]["model_idx"])
+    for k in ("log_evidence", "dist", "red", "dred", "chi2min"):
+        np.testing.assert_allclose(outs[1][k], outs[2][k], rtol=1e-5,
+                                   atol=1e-6, err_msg=k)
+    # HDF5 rows identical too (the writer consumed scanned outputs).
+    f1, f2 = outs[1]["_file"], outs[2]["_file"]
+    np.testing.assert_array_equal(f1["model_idx"], f2["model_idx"])
+    np.testing.assert_allclose(f1["samps_dist"], f2["samps_dist"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(f1["obj_log_evid"], f2["obj_log_evid"],
+                               rtol=1e-5)
+
+    # The fused (Pallas) funnel scans too — interpret mode on CPU.
+    fused = {}
+    for ns in (1, 2):
+        fused[ns] = bf.fit(data, errs, mask, engine="fused", tile=64,
+                           scan_batches=ns, **kw)
+    np.testing.assert_array_equal(fused[1]["model_idx"],
+                                  fused[2]["model_idx"])
+    np.testing.assert_allclose(fused[1]["log_evidence"],
+                               fused[2]["log_evidence"], rtol=1e-5)
+
+
+@pytest.mark.slow
 def test_bruteforce_resume(tmp_path):
     n_star = 4
     data = np.zeros((n_star, NFILT))
