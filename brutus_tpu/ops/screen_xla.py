@@ -17,7 +17,14 @@ expresses it in plain XLA so that
 Stage 1 scores every model with the shared clamped direct 3x3 WLS
 solve + parallax chi2 (`ops.pallas_loglike.screen_score_from_sums` —
 bit-identical formulas to the MXU screening kernel), expressed as nine
-`(B, F) @ (F, M)` contractions.  Selection is at contiguous
+`(B, 6F) @ (6F, M)` bf16 contractions over the SAME manual 3-way
+bf16 split as the Pallas v3 screen (`_split3` + positional pairing:
+lhs `[h h h m m l]` against rhs `[h; m; l; h; m; h]` accumulates
+exactly `Precision.HIGHEST`'s six bf16 cross-terms in ONE
+default-precision pass — on TPU that is 6x fewer MXU passes than the
+HIGHEST einsums this module used through round 4, for identical
+ranking math; the split tables are byte-for-byte the same size as
+the old f32 ones).  Selection is at contiguous
 `block`-model granularity (`_select_blocks`), so stage 2's coefficient
 gather is `B * nb` big contiguous slices — the access pattern XLA's
 gather lowering handles at bandwidth — instead of `B * P` tiny ones.
@@ -39,7 +46,32 @@ from ..config import FitConfig
 from .optimize import _loglike_grid_body, prepare_star_data
 from .pallas_loglike import (SCREEN_MAG_CENTER, screen_score_from_sums,
                              _select_blocks, _select_blocks_sharded,
-                             _screen_parallax)
+                             _screen_parallax, _split3)
+
+
+def _split_rows_np(row):
+    """`(F, Mp) f32 -> (6F, Mp) bf16` rhs split stack
+    `[h; m; l; h; m; h]` (pairs positionally with the lhs
+    `[h h h m m l]` blocks of `_split_lhs` to accumulate exactly the
+    bf16x6 cross-terms hh, hm, hl, mh, mm, lh — the dropped ml/lm/ll
+    terms are <= 2^-32 relative; see `pallas_loglike._split3`)."""
+    import numpy as np
+    import ml_dtypes
+    bf16 = ml_dtypes.bfloat16
+    h = row.astype(bf16)
+    rem = row - h.astype(np.float32)
+    m = rem.astype(bf16)
+    l = (rem - m.astype(np.float32)).astype(bf16)
+    return np.concatenate([h, m, l, h, m, h], axis=0)
+
+
+def _split_lhs(x):
+    """`(B, F) f32 -> (B, 6F) bf16` lhs split blocks `[h h h m m l]`
+    (through `_split3`'s optimization barriers — XLA-TPU otherwise
+    constant-folds the f32->bf16->f32 round trip and zeroes the
+    correction parts; see `_split3`)."""
+    h, m, l = _split3(x)
+    return jnp.concatenate([h, h, h, m, m, l], axis=1)
 
 
 def prepare_screen_xla(mag_coeffs, aux=None, block=256, n_shards=1):
@@ -57,11 +89,13 @@ def prepare_screen_xla(mag_coeffs, aux=None, block=256, n_shards=1):
     Returns
     -------
     (tabw, tabc, packed_blocks, aux_names, n_real):
-      tabw : (6, F, Mp) f32 weight-contracted model rows
-          `[r0, dr, m0, r0^2, r0*dr, dr^2]` (centered magnitudes).
-      tabc : (3, 2F, Mp) f32 folded data-sum rows
+      tabw : (6, 6F, Mp) bf16 weight-contracted model rows
+          `[r0, dr, m0, r0^2, r0*dr, dr^2]` (centered magnitudes),
+          each as the `[h; m; l; h; m; h]` 3-way split stack
+          (`_split_rows_np`; same bytes as the round-4 f32 table).
+      tabc : (3, 12F, Mp) bf16 folded data-sum rows
           `[(-2 m0; m0^2), (r0; -m0 r0), (dr; -m0 dr)]` against the
-          star-side `[mw | w]` stack.
+          star-side `[mw-splits | w-splits]` stack, split like tabw.
       packed_blocks : (Mp // block, block, 3F + n_aux) f32 slab-gather
           table (per-model row = flattened (F, 3) coefficients then the
           aux columns), so one block-index gather fetches everything
@@ -80,8 +114,10 @@ def prepare_screen_xla(mag_coeffs, aux=None, block=256, n_shards=1):
     m0 = np.ascontiguousarray(mc[..., 0].T) - SCREEN_MAG_CENTER  # (F, Mp)
     r0 = np.ascontiguousarray(mc[..., 1].T)
     dr = np.ascontiguousarray(mc[..., 2].T)
-    tabw = np.stack([r0, dr, m0, r0 * r0, r0 * dr, dr * dr])
-    cat = lambda a, b: np.concatenate([a, b], axis=0)       # (2F, Mp)
+    tabw = np.stack([_split_rows_np(x) for x in
+                     (r0, dr, m0, r0 * r0, r0 * dr, dr * dr)])
+    cat = lambda a, b: np.concatenate([_split_rows_np(a),
+                                       _split_rows_np(b)], axis=0)
     tabc = np.stack([cat(-2.0 * m0, m0 * m0),
                      cat(r0, -m0 * r0),
                      cat(dr, -m0 * dr)])
@@ -104,10 +140,12 @@ def _screen_block_scores(mags, wt_mag, plx, plxw, tabw, tabc, n_real,
     """Per-block maxima of the screening score: `(B, Mp // block)`.
 
     Same quantity as the MXU screening kernel (shared epilogue); the
-    nine bilinear sums are `(B, F) @ (F, M)` contractions under
-    `highest` matmul precision (the score cancels ~SNR^2 x mag^2 x F
-    sums down to the residual chi2 — bf16 operand noise scrambles the
-    ranking; see `_make_screen_kernel`).
+    nine bilinear sums are `(B, 6F) @ (6F, M)` single-pass bf16
+    contractions over the 3-way split operands (the score cancels
+    ~SNR^2 x mag^2 x F sums down to the residual chi2 — the split's
+    six exact cross-terms reproduce `Precision.HIGHEST` at 1/6 the
+    MXU passes; plain bf16 noise would scramble the ranking, see
+    `_make_screen_kernel`).
     """
     Mp = tabw.shape[-1]
     mc = (mags - SCREEN_MAG_CENTER) * jnp.sign(wt_mag)   # 0 where wt==0
@@ -115,10 +153,13 @@ def _screen_block_scores(mags, wt_mag, plx, plxw, tabw, tabc, n_real,
     a00 = jnp.maximum(jnp.sum(wt_mag, axis=1, keepdims=True), 1e-30)
     C0 = jnp.sum(mcw, axis=1, keepdims=True)
     q0 = jnp.sum(mc * mcw, axis=1, keepdims=True)
-    with jax.default_matmul_precision("highest"):
-        outw = jnp.einsum("bf,kfm->kbm", wt_mag, tabw)      # (6, B, Mp)
-        lhs_c = jnp.concatenate([mcw, wt_mag], axis=1)      # (B, 2F)
-        outc = jnp.einsum("bf,kfm->kbm", lhs_c, tabc)       # (3, B, Mp)
+    wt_s = _split_lhs(wt_mag)                            # (B, 6F) bf16
+    lhs_c = jnp.concatenate([_split_lhs(mcw), wt_s], axis=1)
+    f32 = jnp.float32
+    outw = jnp.einsum("bf,kfm->kbm", wt_s, tabw,
+                      preferred_element_type=f32)        # (6, B, Mp)
+    outc = jnp.einsum("bf,kfm->kbm", lhs_c, tabc,
+                      preferred_element_type=f32)        # (3, B, Mp)
     score = screen_score_from_sums(
         outw[0], outw[1], outw[2], outw[3], outw[4], outw[5],
         outc[0], outc[1], outc[2], a00, C0, q0,
