@@ -8,18 +8,28 @@ lazy — conftest runs before any computation).
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# BRUTUS_TPU_HW=1 runs the suite against the REAL TPU backend instead
+# of the virtual CPU mesh — for the hardware-gated multi-chip tests
+# (test_parallel.py::test_real_tpu_multichip_funnel).  Do NOT set the
+# host-platform device-count flag there (it hangs the axon client).
+_REAL_HW = os.environ.get("BRUTUS_TPU_HW", "") not in ("", "0")
+
+if not _REAL_HW:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _REAL_HW:
+    jax.config.update("jax_platforms", "cpu")
 
 # Oracle-parity tests validate math against float64 numpy; device code is
 # dtype-polymorphic so float32 paths are exercised explicitly where needed.
-jax.config.update("jax_enable_x64", True)
+# (TPUs have no f64 — the hardware-gated runs keep the f32 default.)
+if not _REAL_HW:
+    jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the interpret-mode Pallas tests spend
 # most of their wall time in XLA compiles that are identical run to

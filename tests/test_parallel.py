@@ -169,6 +169,46 @@ def test_screened_engine_model_mesh(problem):
     assert (out8["model_idx"] < bf.NMODEL).all()
 
 
+def _real_tpus():
+    try:
+        return [d for d in jax.devices() if d.platform == "tpu"]
+    except Exception:
+        return []
+
+
+@pytest.mark.skipif(len(_real_tpus()) < 2,
+                    reason="requires >= 2 REAL TPU chips (run with "
+                           "BRUTUS_TPU_HW=1 on multi-chip hardware; "
+                           "this environment exposes at most one chip "
+                           "behind a tunnel — see README risk note)")
+def test_real_tpu_multichip_funnel(problem):
+    """RISK-REGISTER test (round-4 VERDICT): Mosaic kernels +
+    `shard_map` have only ever lowered together in interpret mode on
+    virtual CPU devices; this runs the sharded Pallas funnel on a REAL
+    multi-chip TPU mesh.  Skips cleanly anywhere without >= 2 chips —
+    the day hardware exists, the multi-chip claim is one
+    `BRUTUS_TPU_HW=1 python -m pytest
+    tests/test_parallel.py::test_real_tpu_multichip_funnel` away."""
+    data, errs, mask, coords = problem
+    devs = _real_tpus()
+    n_model = 2 ** int(np.log2(len(devs)))
+    bf = BruteForce(MC, LABELS, LMASK)
+    kw = dict(data_coords=coords,
+              parallax=np.full(len(data), 1.0),
+              parallax_err=np.full(len(data), 0.05),
+              Nmc_prior=16, Ndraws=32, batch_size=4, n_sel_max=32,
+              verbose=False, return_results=True, engine="fused",
+              tile=64, screen_k=128)
+    out1 = bf.fit(data, errs, mask, **kw)                 # one chip
+    mesh = make_mesh(n_data=1, n_model=n_model,
+                     devices=devs[:n_model])
+    outn = bf.fit(data, errs, mask, mesh=mesh, **kw)      # sharded
+    np.testing.assert_allclose(outn["log_evidence"],
+                               out1["log_evidence"],
+                               rtol=1e-5, atol=1e-4)
+    assert (outn["model_idx"] == out1["model_idx"]).mean() > 0.9
+
+
 def test_fused_engine_rejects_dense_model_mesh(problem):
     """Dense fused (screen off) still refuses model>1 meshes — the
     dense kernel replicates the grid; only the funnel shards it."""
