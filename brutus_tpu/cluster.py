@@ -312,6 +312,7 @@ def fit_cluster(isochrone, phot, err, cluster_params="free",
                 cluster_prob=0.95, dim_prior=True, bounds=None,
                 n_walkers=32, n_steps=1000, n_burn=500, stretch_a=2.0,
                 seed=0, max_samples=4000, return_chain=False,
+                evidence=False, n_temps=16, beta_power=5.0,
                 verbose=False):
     """Fit the cluster parameters with the TPU-native ensemble sampler.
 
@@ -334,6 +335,12 @@ def fit_cluster(isochrone, phot, err, cluster_params="free",
         `DEFAULT_BOUNDS` (keys: `feh, loga, av, rv, dist, fout,
         offsets, dtdm, drdm, msto_smooth, feh_scale`).  `feh`/`loga`
         default to the isochrone grid extent.
+    evidence : bool
+        Also estimate `logz +/- logz_err` (stepping-stone over an
+        `n_temps`-rung power-posterior ladder; see `los.fit_clouds` —
+        the reference gets this from dynesty, demo "Overview 5").
+        Evidences are comparable across runs sharing the SAME bounds
+        (the uniform prior volume is part of Z).
 
     Returns
     -------
@@ -452,10 +459,24 @@ def fit_cluster(isochrone, phot, err, cluster_params="free",
         ll = jax.vmap(one)(cvals, Xb, corr)
         return jnp.where(inb & jnp.isfinite(ll), ll, -jnp.inf)
 
-    run = ensemble_sample(
-        logpost, ndim, n_walkers=n_walkers, n_steps=n_steps,
-        stretch_a=stretch_a, seed=seed,
-        logpost_args=(*xgrid, ygrid, *nn_params, *data_args))
+    ev = None
+    if evidence:
+        from .sampling import (tempered_ensemble_sample,
+                               default_beta_ladder, evidence_from_ladder)
+        betas = default_beta_ladder(n_temps, power=beta_power)
+        trun = tempered_ensemble_sample(
+            logpost, ndim, betas, n_walkers=n_walkers, n_steps=n_steps,
+            stretch_a=stretch_a, seed=seed,
+            logl_args=(*xgrid, ygrid, *nn_params, *data_args))
+        ev = evidence_from_ladder(betas,
+                                  np.asarray(trun["logl"])[:, n_burn:])
+        run = dict(chain=trun["chain"][-1], logp=trun["logl"][-1],
+                   accept=trun["accept"][-1])
+    else:
+        run = ensemble_sample(
+            logpost, ndim, n_walkers=n_walkers, n_steps=n_steps,
+            stretch_a=stretch_a, seed=seed,
+            logpost_args=(*xgrid, ygrid, *nn_params, *data_args))
     chain_u = np.asarray(run["chain"][n_burn:])
     chain_lp = np.asarray(run["logp"][n_burn:])
     diag = chain_diagnostics(chain_u, accept=run["accept"][n_burn:])
@@ -479,6 +500,10 @@ def fit_cluster(isochrone, phot, err, cluster_params="free",
                map_theta=map_x, theta_full=theta_full,
                acceptance=diag["acceptance"], tau=diag["tau"],
                ess=diag["ess"], rhat=diag["rhat"])
+    if ev is not None:
+        out["logz"] = ev["logz"]
+        out["logz_err"] = ev["logz_err"]
+        out["logz_ti"] = ev["logz_ti"]
     if return_chain:
         out["chain"] = lo_np + chain_u * (hi_np - lo_np)
         out["chain_logl"] = chain_lp

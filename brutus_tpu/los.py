@@ -238,7 +238,8 @@ def fit_clouds(dsamps, rsamps, n_clouds, kernel="gauss",
                template_reds=None, additive_foreground=False,
                monotonic=True, Ndraws=25,
                n_walkers=64, n_steps=1500, n_burn=750, stretch_a=2.0,
-               seed=0, max_samples=4000, return_chain=False):
+               seed=0, max_samples=4000, return_chain=False,
+               evidence=False, n_temps=16, beta_power=5.0):
     """Fit the N-cloud LOS extinction model with a TPU-native sampler.
 
     The reference drives `LOS_clouds_loglike_samples` with an external
@@ -265,6 +266,16 @@ def fit_clouds(dsamps, rsamps, n_clouds, kernel="gauss",
         Also return `chain (n_steps - n_burn, n_walkers, ndim)` — the
         full unthinned post-burn chain in theta space — plus
         `chain_logl`.
+    evidence : bool
+        Also estimate the log-evidence `logz +/- logz_err`
+        (stepping-stone over an `n_temps`-rung power-posterior ladder,
+        `sampling.tempered_ensemble_sample`; ~`n_temps`x the
+        likelihood work).  This is the model-selection quantity the
+        reference's workflow gets from dynesty's nested sampling
+        (`/root/reference/brutus/los.py:27-33`, demo "Overview 4"):
+        compare `logz` across `n_clouds` to choose the cloud count.
+        The posterior `samples` then come from the ladder's beta=1
+        rung (different RNG stream than `evidence=False`).
     Other knobs mirror `LOS_clouds_priortransform` /
     `LOS_clouds_loglike_samples`.
 
@@ -316,9 +327,23 @@ def fit_clouds(dsamps, rsamps, n_clouds, kernel="gauss",
             ll = jnp.where(mono, ll, -jnp.inf)
         return jnp.where(inb, ll, -jnp.inf)
 
-    run = ensemble_sample(logpost, ndim, n_walkers=n_walkers,
-                          n_steps=n_steps, stretch_a=stretch_a,
-                          seed=seed, logpost_args=(ds, rs))
+    ev = None
+    if evidence:
+        from .sampling import (tempered_ensemble_sample,
+                               default_beta_ladder, evidence_from_ladder)
+        betas = default_beta_ladder(n_temps, power=beta_power)
+        trun = tempered_ensemble_sample(
+            logpost, ndim, betas, n_walkers=n_walkers, n_steps=n_steps,
+            stretch_a=stretch_a, seed=seed, logl_args=(ds, rs))
+        ev = evidence_from_ladder(betas,
+                                  np.asarray(trun["logl"])[:, n_burn:])
+        # The beta=1 rung IS an ordinary posterior chain: reuse it.
+        run = dict(chain=trun["chain"][-1], logp=trun["logl"][-1],
+                   accept=trun["accept"][-1])
+    else:
+        run = ensemble_sample(logpost, ndim, n_walkers=n_walkers,
+                              n_steps=n_steps, stretch_a=stretch_a,
+                              seed=seed, logpost_args=(ds, rs))
     chain_u = np.asarray(run["chain"][n_burn:])
     chain_lp = np.asarray(run["logp"][n_burn:])
     diag = chain_diagnostics(chain_u, accept=run["accept"][n_burn:])
@@ -336,6 +361,10 @@ def fit_clouds(dsamps, rsamps, n_clouds, kernel="gauss",
                map_theta=thetas[np.argmax(kept_lp)],
                acceptance=diag["acceptance"], tau=diag["tau"],
                ess=diag["ess"], rhat=diag["rhat"])
+    if ev is not None:
+        out["logz"] = ev["logz"]
+        out["logz_err"] = ev["logz_err"]
+        out["logz_ti"] = ev["logz_ti"]
     if return_chain:
         out["chain"] = _theta_from_u(chain_u, rlims, dlims, pbp, ssp,
                                      dust_template, nlims)

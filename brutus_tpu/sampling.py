@@ -115,6 +115,164 @@ def ensemble_sample(logpost, ndim, n_walkers=64, n_steps=1500,
     return dict(chain=chain, logp=logp, accept=accs)
 
 
+def default_beta_ladder(n_temps, power=5.0):
+    """Inverse-temperature ladder `beta_k = (k / (K-1))**power`,
+    k = 0..K-1: beta_0 = 0 (the prior) through beta_{K-1} = 1 (the
+    posterior), concentrated near 0 where the integrand of the
+    thermodynamic identity varies fastest for peaked likelihoods
+    (the standard power-posterior schedule; Friel & Pettitt 2008
+    recommend power ~ 5)."""
+    import numpy as np
+    k = np.arange(int(n_temps), dtype=np.float64)
+    return (k / (n_temps - 1)) ** float(power)
+
+
+def tempered_ensemble_sample(logl, ndim, betas, n_walkers=64,
+                             n_steps=1500, stretch_a=2.0, seed=0,
+                             logl_args=()):
+    """Power-posterior ladder sampling for evidence estimation.
+
+    Runs one INDEPENDENT stretch-move ensemble per inverse temperature
+    `beta` in `betas`, targeting `prior * L**beta` (the support
+    indicator — `logl` returning `-inf` — is part of the prior and is
+    never tempered).  All rungs advance inside one vmapped device
+    program, so the ladder costs one K-times-wider likelihood batch
+    per step, not K sequential chains.  No replica exchange: the
+    stepping-stone / thermodynamic-integration estimators
+    (`evidence_from_ladder`) only need per-rung equilibrium samples.
+
+    The reference's LOS / cluster workflows get their evidences from
+    dynesty's nested sampling (`/root/reference/brutus/los.py:27-33`,
+    demos "Overview 4/5"); this ladder is the TPU-native replacement
+    feeding the same model-selection decisions (how many clouds?).
+
+    Parameters
+    ----------
+    logl : callable `(u (W, ndim), *logl_args) -> (W,)`
+        Jittable batched log-LIKELIHOOD over the prior unit cube;
+        out-of-support positions return `-inf`.
+    betas : (K,) ascending inverse temperatures, typically
+        `default_beta_ladder(K)` (0 first, 1 last).
+
+    Returns
+    -------
+    dict of device arrays, rung-major:
+      `chain (K, n_steps, W, ndim)`, `logl (K, n_steps, W)` RAW
+      (untempered) log-likelihoods, `accept (K, n_steps, W)` bool.
+      The last rung (`beta = 1`) is an ordinary posterior chain.
+    """
+    if n_walkers % 2:
+        raise ValueError("n_walkers must be even")
+    W = n_walkers
+    half = W // 2
+    K = len(betas)
+    betas_j = jnp.asarray(np.asarray(betas), jnp.float32)
+    key = (jax.random.PRNGKey(seed) if np.ndim(seed) == 0
+           else jnp.asarray(seed))
+    key, k0 = jax.random.split(key)
+    u0 = jax.random.uniform(k0, (K, W, ndim), jnp.float32, 0.02, 0.98)
+
+    def temper(ll, beta):
+        return jnp.where(jnp.isfinite(ll), beta * ll, -jnp.inf)
+
+    def half_step(u, ll, beta, active, key, args):
+        ka, kz, ku = jax.random.split(key, 3)
+        j = jax.random.randint(ka, (W,), 0, half)
+        idx = jnp.where(jnp.arange(W) < half, half + j, j)
+        partners = u[idx]
+        zu = jax.random.uniform(kz, (W,), jnp.float32)
+        z = ((stretch_a - 1.0) * zu + 1.0) ** 2 / stretch_a
+        prop = partners + z[:, None] * (u - partners)
+        ll_prop = logl(prop, *args)
+        ln_acc = ((ndim - 1) * jnp.log(z)
+                  + temper(ll_prop, beta) - temper(ll, beta))
+        accept = (jnp.log(jax.random.uniform(ku, (W,), jnp.float32))
+                  < ln_acc) & active
+        u = jnp.where(accept[:, None], prop, u)
+        ll = jnp.where(accept, ll_prop, ll)
+        return u, ll, accept
+
+    vhalf = jax.vmap(half_step, in_axes=(0, 0, 0, None, 0, None))
+
+    @jax.jit
+    def run(u0, key, *args):
+        ll0 = jax.vmap(lambda u: logl(u, *args))(u0)     # (K, W)
+
+        def step(carry, key):
+            u, ll = carry
+            k1, k2 = jax.random.split(key)
+            first = jnp.arange(W) < half
+            u, ll, a1 = vhalf(u, ll, betas_j, first,
+                              jax.random.split(k1, K), args)
+            u, ll, a2 = vhalf(u, ll, betas_j, ~first,
+                              jax.random.split(k2, K), args)
+            return (u, ll), (u, ll, a1 | a2)
+
+        keys = jax.random.split(key, n_steps)
+        (_, _), (chain, lls, accs) = lax.scan(step, (u0, ll0), keys)
+        # scan stacks steps first: -> rung-major (K, n_steps, ...).
+        return (jnp.swapaxes(chain, 0, 1), jnp.swapaxes(lls, 0, 1),
+                jnp.swapaxes(accs, 0, 1))
+
+    chain, lls, accs = run(u0, key, *logl_args)
+    return dict(chain=chain, logl=lls, accept=accs)
+
+
+def evidence_from_ladder(betas, logl, n_blocks=8):
+    """Log-evidence from power-posterior samples.
+
+    Parameters
+    ----------
+    betas : (K,) ascending inverse temperatures (0 first, 1 last).
+    logl : (K, S, W) RAW post-burn log-likelihoods from
+        `tempered_ensemble_sample` (burn removed by the caller).
+    n_blocks : time-axis blocks for the Monte-Carlo error estimate.
+
+    Returns
+    -------
+    dict with
+      `logz` : stepping-stone estimate (Xie et al. 2011)
+          `sum_k ln (1/N) sum_i exp((b_{k+1}-b_k) lnL_i^{(k)})` —
+          consistent for any ladder, the primary output;
+      `logz_err` : block-bootstrap standard error (split the chain
+          into `n_blocks` time blocks, std of per-block estimates /
+          sqrt(n_blocks); captures autocorrelation at block scale);
+      `logz_ti` : thermodynamic-integration cross-check
+          (trapezoid of the per-rung mean lnL over beta — biased low
+          by ladder discretization when the integrand is convex).
+    """
+    from scipy.special import logsumexp
+    betas = np.asarray(betas, np.float64)
+    ll = np.asarray(logl, np.float64)
+    K, S, W = ll.shape
+    if K != len(betas):
+        raise ValueError("logl leading axis must match betas")
+    dbs = np.diff(betas)
+
+    def ss(ll_kt):                       # (K, s, W) -> scalar
+        n = ll_kt.shape[1] * ll_kt.shape[2]
+        return float(sum(
+            logsumexp(dbs[k] * ll_kt[k].ravel()) - np.log(n)
+            for k in range(K - 1)))
+
+    logz = ss(ll)
+    bs = max(1, S // n_blocks)
+    blocks = [ss(ll[:, i * bs:(i + 1) * bs]) for i in range(n_blocks)
+              if ll[:, i * bs:(i + 1) * bs].shape[1] > 0]
+    logz_err = float(np.std(blocks) / np.sqrt(len(blocks)))
+    # TI on the per-rung mean lnL (excluding -inf stragglers that a
+    # rung's burn-in failed to clear — they carry zero posterior mass).
+    mean_ll = np.empty(K)
+    for k in range(K):
+        v = ll[k].ravel()
+        v = v[np.isfinite(v)]
+        mean_ll[k] = v.mean() if len(v) else -np.inf
+    logz_ti = float(np.trapezoid(mean_ll, betas)
+                    if hasattr(np, "trapezoid")
+                    else np.trapz(mean_ll, betas))
+    return dict(logz=logz, logz_err=logz_err, logz_ti=logz_ti)
+
+
 def integrated_autocorr_time(x, c=5.0):
     """Per-parameter integrated autocorrelation time of an ensemble
     chain `x (n_steps, n_walkers, ndim)` — emcee's method: the
@@ -174,5 +332,7 @@ def chain_diagnostics(chain, accept=None):
     return out
 
 
-__all__ = ["ensemble_sample", "integrated_autocorr_time", "split_rhat",
+__all__ = ["ensemble_sample", "tempered_ensemble_sample",
+           "default_beta_ladder", "evidence_from_ladder",
+           "integrated_autocorr_time", "split_rhat",
            "chain_diagnostics"]
