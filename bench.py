@@ -141,6 +141,11 @@ def main():
                          "(lax.scan); amortizes per-dispatch host "
                          "overhead (a device trace showed ~7 ms/batch "
                          "of it through the tunnel)")
+    ap.add_argument("--screen-select", choices=["exact", "approx"],
+                    default=_FC.screen_select,
+                    help="funnel block-shortlist selection: exact "
+                         "top_k sort or approx_max_k (PartialReduce) "
+                         "at recall 0.99 over block maxima")
     ap.add_argument("--screen-matmul", choices=["wide", "split"],
                     default="split",
                     help="screen kernel matmul issue shape (split = "
@@ -205,7 +210,8 @@ def main():
                         kernel_mag_iters=args.mag_iters,
                         kernel_flux_iters=args.flux_iters,
                         screen_score=args.screen_score,
-                        screen_matmul=args.screen_matmul)
+                        screen_matmul=args.screen_matmul,
+                        screen_select=args.screen_select)
     post_cfg = PosteriorConfig(n_mc_prior=args.nmc, n_draws=args.ndraws,
                                n_sel_max=min(args.nsel, M),
                                prefilter_k=args.prefilter)

@@ -133,6 +133,17 @@ class FitConfig:
     #             while a single wide dot serializes on one MXU.
     screen_matmul: str = "split"
 
+    # Funnel block-shortlist selection op:
+    #   "exact"  — `lax.top_k` over the (B, M/block) block maxima (a
+    #              full sort; 1.2 ms/batch of the round-4 16.8 ms
+    #              device budget).
+    #   "approx" — `lax.approx_max_k` (TPU PartialReduce) at recall
+    #              target 0.99 over block maxima.  Block-level recall
+    #              loss only touches mid-rank blocks whose posterior
+    #              mass is already marginal; measured end to end
+    #              before shipping (see FUNNEL_AB.json / README).
+    screen_select: str = "exact"
+
     # Funnel shortlist selection granularity: models are selected as
     # contiguous `screen_block`-wide slabs (the screening kernel emits
     # per-block score maxima; the gather stage moves whole slabs at

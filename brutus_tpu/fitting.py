@@ -605,6 +605,7 @@ class BruteForce:
             batch_size=16, n_sel_max=2048, seed=0, resume=False,
             return_results=False, return_sel=False, mesh=None,
             engine=None, tile=512, screen_k=None, screen_block=None,
+            screen_select=None,
             mag_direct_init=True, scan_batches=1,
             _yield_batches=False):
         """Fit every star against the grid and write the results file.
@@ -666,6 +667,9 @@ class BruteForce:
                             screen_block=(FitConfig.screen_block
                                           if screen_block is None
                                           else int(screen_block)),
+                            screen_select=(FitConfig.screen_select
+                                           if screen_select is None
+                                           else str(screen_select)),
                             # Production default ON (the fused kernel
                             # always direct-seeds; this turns it on for
                             # the XLA engine too — same converged

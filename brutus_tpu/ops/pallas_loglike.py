@@ -900,8 +900,8 @@ def gather_table_columns(packed, Mp):
         p.reshape(Mp // gb, C, gb).swapaxes(0, 1)).reshape(C, Mp)
 
 
-@partial(jax.jit, static_argnames=("nb", "block"))
-def _select_blocks(bscore, nb, block):
+@partial(jax.jit, static_argnames=("nb", "block", "approx"))
+def _select_blocks(bscore, nb, block, approx=False):
     """Per-star top-`nb` score blocks of `block` models each
     (`bscore` is the `(B, Mp // block)` per-block score maxima the
     screening kernel emits).
@@ -914,9 +914,16 @@ def _select_blocks(bscore, nb, block):
     bandwidth instead, and on real (label-ordered) grids the
     high-likelihood models cluster into contiguous bands anyway, so
     block selection *improves* effective recall at fixed P.
+
+    `approx` replaces the exact `top_k` (a full sort — 1.2 ms/batch of
+    the round-4 device trace) with `approx_max_k` at a high recall
+    target over the block-maxima plane (`FitConfig.screen_select`).
     """
     B = bscore.shape[0]
-    _, bidx = lax.top_k(bscore, nb)
+    if approx:
+        _, bidx = lax.approx_max_k(bscore, nb, recall_target=0.99)
+    else:
+        _, bidx = lax.top_k(bscore, nb)
     bidx = bidx.astype(jnp.int32)
     idx = (bidx[:, :, None] * block
            + jnp.arange(block, dtype=jnp.int32)[None, None, :]
@@ -1148,7 +1155,9 @@ def loglike_grid_screened(flux, fluxerr, mask, screen_tab, packed,
         return bscore
 
     if model_axis is None:
-        bidx, idx = _select_blocks(bscore, nb, block)
+        bidx, idx = _select_blocks(bscore, nb, block,
+                                   approx=(cfg.screen_select == "approx"
+                                           and not interpret))
         gather = _make_gather_call(C_pack, M, Bp, nb, block,
                                    interpret, src_bm)
         slabs = gather(bidx, packed)

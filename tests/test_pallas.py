@@ -310,3 +310,21 @@ def test_screened_funnel_wide_filters():
     for b in rows:
         good = np.flatnonzero(lnl_d[b] > lnl_d[b].max() - 10.0)
         assert np.isin(good, gidx[b]).all()
+
+
+def test_select_blocks_approx_plumbing():
+    """`screen_select="approx"` routes through `lax.approx_max_k`
+    (`_select_blocks(approx=True)`); on CPU the lowering falls back to
+    an exact sort, so the selected block SET must equal the exact
+    path's (order may differ — approx_max_k does not sort).  The
+    TPU-side recall/throughput decision lives in FUNNEL_AB.json."""
+    from brutus_tpu.ops.pallas_loglike import _select_blocks
+
+    rng = np.random.default_rng(11)
+    bscore = jnp.asarray(rng.normal(size=(4, 96)).astype(np.float32))
+    nb, block = 12, 32
+    _, idx_ex = _select_blocks(bscore, nb, block)
+    _, idx_ap = _select_blocks(bscore, nb, block, approx=True)
+    for b in range(4):
+        assert set(np.asarray(idx_ex[b]).ravel()) == set(
+            np.asarray(idx_ap[b]).ravel())
