@@ -112,6 +112,23 @@ class FitConfig:
     # one v5e chip was 6157 -> 5241 stars/s (-15%) — the cheapest
     # qualifying (>= 0.95 worst-star) configuration of the sweep
     # (12288/128: 0.986 at 5026; 10240/128: 0.963 at 5092).
+    #
+    # END-TO-END funnel-vs-dense A/B (FUNNEL_AB.json, round 5; same
+    # 128-star batch, 750k models, MC normals pinned so deltas isolate
+    # shortlist loss):
+    #   * uncorrelated (iid) grid — the funnel at this default is
+    #     LOSSLESS: worst-star dist delta 0.05%, logz delta 0.001
+    #     nats, both far below the MC noise floor (0.55% / 0.06).
+    #   * deliberately DEGENERATE lattice (thousands of near-identical
+    #     models, the worst case for any shortlist) — worst-star dist
+    #     delta 7.6% / logz 3.9 nats at 12288; 3.2% / 3.1 at 24576;
+    #     p90 0.67% / 0.15 at 49152.  block=128 does NOT help end to
+    #     end (7.7% / 4.4 — the shortlist-mass recall metric that
+    #     favored it conflated dropped duplicate mass with posterior
+    #     effect), so 256 stays.  On such grids much of the logz
+    #     delta is duplicated likelihood mass the shortlist cannot
+    #     keep; raise `screen_k` (2-4x) when fitting grids with
+    #     near-duplicate models AND absolute evidences matter.
     screen_k: int = 12288
 
     # Screening-score variant (diagnostic / experimental):
@@ -147,11 +164,15 @@ class FitConfig:
     # Funnel shortlist selection granularity: models are selected as
     # contiguous `screen_block`-wide slabs (the screening kernel emits
     # per-block score maxima; the gather stage moves whole slabs at
-    # memory bandwidth).  Narrower blocks raise worst-star recall at
-    # fixed `screen_k` (more, smaller slabs track the ridge of the
-    # chi2 landscape more tightly — see RECALL.json) for slightly more
-    # gather/selection work; on TPU hardware the fused path clamps to
-    # >= 128 (DMA lane alignment).
+    # memory bandwidth).  Narrower blocks raise worst-star shortlist
+    # MASS recall at fixed `screen_k` (more, smaller slabs track the
+    # ridge of the chi2 landscape more tightly — see RECALL.json) for
+    # slightly more gather/selection work, but the round-5 END-TO-END
+    # A/B (FUNNEL_AB.json) showed no posterior/evidence benefit from
+    # 128 vs 256 even on the degenerate worst-case lattice — the extra
+    # mass 128 retains is near-duplicate models that don't move the
+    # posterior.  On TPU hardware the fused path clamps to >= 128
+    # (DMA lane alignment).
     screen_block: int = 256
 
     @property
