@@ -228,6 +228,19 @@ class PosteriorConfig:
     # reference semantics whenever <= n_sel_max models survive cull #1
     # (see README divergences).  Set to 0 to disable.
     prefilter_k: int = 2048
+    # Prefilter ranking-key precision.  At `prefilter_k / shortlist`
+    # ratios like 2048/12288, `approx_max_k`'s TPU PartialReduce
+    # lowering falls back to a FULL variadic sort (1.16 ms/batch of
+    # the round-5 device trace).  With this flag the sort key is the
+    # per-star max-shifted log-probability cast to bf16 (half the
+    # sort bandwidth): after the shift the interesting range is
+    # [-30, 0] where bf16 resolves ~0.1 nats — candidates that close
+    # at the rank-2048 boundary are interchangeable (the cull
+    # thresholds re-apply exactly afterwards, and the prefilter
+    # already runs at recall_target=0.95).  The selected VALUES are
+    # still gathered at full f32 from the pack; only the ranking key
+    # is quantized.
+    prefilter_bf16: bool = True
     # PSD repair (fitting.py:1042-1065): escalating diagonal Gaussian
     # priors, doubled each pass; fixed pass count for static control flow.
     psd_width: float = 0.02

@@ -963,7 +963,8 @@ def _select_blocks_sharded(bscore, nb, block, model_axis, n_shards):
 
 
 @lru_cache(maxsize=32)
-def _make_gather_call(C, Mp, B, nb, block, interpret, src_bm=False):
+def _make_gather_call(C, Mp, B, nb, block, interpret, src_bm=False,
+                      n_coef=None):
     """DMA slab-gather kernel: `out[:, b, j*block:(j+1)*block] =
     packed[:, bidx[b, j]*block : +block]`.
 
@@ -974,56 +975,88 @@ def _make_gather_call(C, Mp, B, nb, block, interpret, src_bm=False):
     `src_bm`: the source is BLOCK-MAJOR `(Mp // block * C, block)`
     (see `prepare_screen`), so each slab read is one contiguous
     `C * block * 4`-byte chunk instead of `C` strided rows.
+
+    `n_coef`: when set (the 3F coefficient row count) the slab is
+    SPLIT into two outputs — coeff rows `(n_coef, B*P)` and aux rows
+    `(C - n_coef, B*P)` — with one DMA each per slab.  Both pallas
+    outputs are layout-pinned row-major, so the downstream reshape of
+    the coeff table to the fit kernel's `(3, F, B, P)` operand is a
+    pure bitcast; emitting ONE `(C, B*P)` output instead left XLA a
+    row-slice + two layout copies between the gather and fit
+    custom-calls (~1.5 ms/batch of the round-5 device trace).
     """
     NSEM = min(8, nb)
     P = nb * block
+    split = n_coef is not None and 0 < n_coef < C
 
-    def kernel(bidx_ref, src_ref, out_ref):
+    parts = (((0, n_coef), (n_coef, C)) if split else ((0, C),))
+
+    def kernel(bidx_ref, src_ref, *out_refs):
         b = pl.program_id(0)
 
         def body(sems):
-            def get_dma(j):
+            def get_dma(j, part):
+                # part 0: coeff rows [0, n_coef); part 1: aux rows
+                # [n_coef, C) (or the whole slab when not splitting).
+                # `part` is a PYTHON int (the per-slab loop body is
+                # unrolled over parts), so the row slice is static.
                 i = bidx_ref[b, j]
-                # 2-D (C, B*P) output: every slab is a lane-aligned
-                # (C, block) slice (a 3-D (C, B, P) layout would put B
-                # in the tiled sublane dim, where size-1 slices are
-                # illegal).
+                r0, r1 = parts[part]
+                nr = r1 - r0
+                # 2-D (rows, B*P) output: every slab is a lane-aligned
+                # (rows, block) slice (a 3-D layout would put B in the
+                # tiled sublane dim, where size-1 slices are illegal).
                 if src_bm:
-                    src = src_ref.at[pl.ds(i * C, C), :]
+                    src = src_ref.at[pl.ds(i * C + r0, nr), :]
                 else:
-                    src = src_ref.at[:, pl.ds(i * block, block)]
+                    src = src_ref.at[pl.ds(r0, nr),
+                                     pl.ds(i * block, block)]
                 return pltpu.make_async_copy(
                     src,
-                    out_ref.at[:, pl.ds(b * P + j * block, block)],
-                    sems.at[j % NSEM])
+                    out_refs[part].at[:, pl.ds(b * P + j * block,
+                                               block)],
+                    sems.at[j % NSEM, part])
 
             def issue(j, c):
                 @pl.when(j >= NSEM)
                 def _():
-                    get_dma(j - NSEM).wait()
-                get_dma(j).start()
+                    for part in range(len(parts)):
+                        get_dma(j - NSEM, part).wait()
+                for part in range(len(parts)):
+                    get_dma(j, part).start()
                 return c
 
             lax.fori_loop(0, nb, issue, 0)
 
             def drain(j, c):
-                get_dma(j).wait()
+                for part in range(len(parts)):
+                    get_dma(j, part).wait()
                 return c
 
             lax.fori_loop(max(nb - NSEM, 0), nb, drain, 0)
 
-        pl.run_scoped(body, pltpu.SemaphoreType.DMA((NSEM,)))
+        pl.run_scoped(body,
+                      pltpu.SemaphoreType.DMA((NSEM, len(parts))))
+
+    if split:
+        out_shape = [jax.ShapeDtypeStruct((n_coef, B * P), jnp.float32),
+                     jax.ShapeDtypeStruct((C - n_coef, B * P),
+                                          jnp.float32)]
+        out_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 2
+    else:
+        out_shape = jax.ShapeDtypeStruct((C, B * P), jnp.float32)
+        out_specs = pl.BlockSpec(memory_space=pl.ANY)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=out_specs,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((C, B * P), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
     )
 
@@ -1038,12 +1071,23 @@ def _screen_parallax(parallax, parallax_err):
 
 
 @partial(jax.jit, static_argnames=("n_coef", "B"))
-def _unpack_gather(out, n_coef, B):
-    C, BP = out.shape
+def _unpack_split(out, n_coef, B):
+    """Reshape the slab gather's output(s) for the fit kernel — pure
+    bitcasts (the gather emits coeff and aux rows as separate
+    layout-pinned outputs, see `_make_gather_call(n_coef=...)`)."""
+    if isinstance(out, (tuple, list)):
+        out_c, out_a = out
+    else:
+        out_c, out_a = out, None
+    BP = out_c.shape[1]
     P = BP // B
     F = n_coef // 3
-    out = out.reshape(C, B, P)
-    return out[:n_coef].reshape(3, F, B, P), out[n_coef:]
+    coeffs = out_c.reshape(3, F, B, P)
+    if out_a is None:
+        aux = jnp.zeros((0, B, P), out_c.dtype)
+    else:
+        aux = out_a.reshape(out_a.shape[0], B, P)
+    return coeffs, aux
 
 
 def loglike_grid_screened(flux, fluxerr, mask, screen_tab, packed,
@@ -1154,12 +1198,15 @@ def loglike_grid_screened(flux, fluxerr, mask, screen_tab, packed,
     if stop_after == "screen":     # bench --breakdown probe
         return bscore
 
+    n_coef = 3 * F
+    has_aux = C_pack > n_coef
     if model_axis is None:
         bidx, idx = _select_blocks(bscore, nb, block,
                                    approx=(cfg.screen_select == "approx"
                                            and not interpret))
         gather = _make_gather_call(C_pack, M, Bp, nb, block,
-                                   interpret, src_bm)
+                                   interpret, src_bm,
+                                   n_coef=n_coef if has_aux else None)
         slabs = gather(bidx, packed)
     else:
         bidx, idx, mine = _select_blocks_sharded(bscore, nb, block,
@@ -1171,13 +1218,16 @@ def loglike_grid_screened(flux, fluxerr, mask, screen_tab, packed,
         bidx_l = jnp.where(mine, bidx - lax.axis_index(model_axis)
                            * (M // block), 0)
         gather = _make_gather_call(C_pack, M, Bp, nb, block,
-                                   interpret, src_bm)
+                                   interpret, src_bm,
+                                   n_coef=n_coef if has_aux else None)
         slabs = gather(bidx_l, packed)
         keepf = jnp.broadcast_to(mine[:, :, None],
                                  (Bp, nb, block)).reshape(1, Bp * nb
                                                           * block)
-        slabs = lax.psum(slabs * keepf.astype(slabs.dtype), model_axis)
-    coeffs2, aux = _unpack_gather(slabs, 3 * F, Bp)
+        kf = keepf.astype(jnp.float32)
+        slabs = jax.tree_util.tree_map(
+            lambda s: lax.psum(s * kf, model_axis), slabs)
+    coeffs2, aux = _unpack_split(slabs, n_coef, Bp)
     if stop_after == "gather":     # bench --breakdown probe
         return coeffs2, aux, idx
 

@@ -145,8 +145,19 @@ def _select_stage(results, lnprior_grid, coord,
     K1 = cfg.prefilter_k
     rv_pre = chi2_pre = icov_pre = None
     if K1 and K1 < M:
-        _, pre_idx = jax.lax.approx_max_k(lnprob, K1,
-                                          recall_target=0.95)
+        if cfg.prefilter_bf16:
+            # Max-shifted bf16 ranking key: halves the sort bandwidth
+            # of the full-sort fallback this selection lowers to at
+            # K1/M ratios like 2048/12288 (see
+            # PosteriorConfig.prefilter_bf16).  Values are still
+            # gathered at f32; only the ranking key is quantized.
+            key = jnp.maximum(lnprob - lnprob_max,
+                              -3e4).astype(jnp.bfloat16)
+            _, pre_idx = jax.lax.approx_max_k(key, K1,
+                                              recall_target=0.95)
+        else:
+            _, pre_idx = jax.lax.approx_max_k(lnprob, K1,
+                                              recall_target=0.95)
         # Gathers dominate this stage on TPU: pack the needed fields
         # into one (M, C) matrix and fetch contiguous rows ONCE instead
         # of issuing one scattered gather per field.
