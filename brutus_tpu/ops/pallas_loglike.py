@@ -1073,20 +1073,20 @@ def _screen_parallax(parallax, parallax_err):
 @partial(jax.jit, static_argnames=("n_coef", "B"))
 def _unpack_split(out, n_coef, B):
     """Reshape the slab gather's output(s) for the fit kernel — pure
-    bitcasts (the gather emits coeff and aux rows as separate
-    layout-pinned outputs, see `_make_gather_call(n_coef=...)`)."""
+    bitcasts when the gather emitted coeff and aux rows as separate
+    layout-pinned outputs (see `_make_gather_call(n_coef=...)`); falls
+    back to the row-slice unpack for a single combined output (the
+    split is only legal when `n_coef % 8 == 0` — Mosaic HBM slices
+    need sublane-aligned row offsets/counts)."""
     if isinstance(out, (tuple, list)):
         out_c, out_a = out
     else:
-        out_c, out_a = out, None
+        out_c, out_a = out[:n_coef], out[n_coef:]
     BP = out_c.shape[1]
     P = BP // B
     F = n_coef // 3
     coeffs = out_c.reshape(3, F, B, P)
-    if out_a is None:
-        aux = jnp.zeros((0, B, P), out_c.dtype)
-    else:
-        aux = out_a.reshape(out_a.shape[0], B, P)
+    aux = out_a.reshape(out_a.shape[0], B, P)
     return coeffs, aux
 
 
@@ -1199,7 +1199,11 @@ def loglike_grid_screened(flux, fluxerr, mask, screen_tab, packed,
         return bscore
 
     n_coef = 3 * F
-    has_aux = C_pack > n_coef
+    # Split coeff/aux gather outputs only when the boundary is
+    # sublane-aligned: Mosaic HBM memref slices need multiple-of-8 row
+    # offsets AND counts (at F=49 n_coef=147 — unsplittable; the
+    # single-output path's row-slice unpack handles it).
+    has_aux = (C_pack > n_coef and n_coef % 8 == 0 and C_pack % 8 == 0)
     if model_axis is None:
         bidx, idx = _select_blocks(bscore, nb, block,
                                    approx=(cfg.screen_select == "approx"
