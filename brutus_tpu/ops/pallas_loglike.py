@@ -99,10 +99,17 @@ def _make_kernel(cfg: FitConfig, per_star=False):
         if per_star:
             # Screened (funnel) mode: each star has its own gathered
             # model shortlist, so the coefficient block carries a GROUP
-            # axis and broadcasts nowhere.
-            mag0 = coef_ref[0]          # (F, G, T)
-            r0 = coef_ref[1]
-            dr = coef_ref[2]
+            # axis and broadcasts nowhere.  The block is the slab
+            # gather's native (3F, G, T) row layout (row k*F + f holds
+            # coefficient k of filter f) — consuming it directly keeps
+            # the gather-output -> fit-operand handoff a pure bitcast
+            # (the 4-D (3, F, B, P) view cost a 0.45 ms/batch layout
+            # copy on the round-5 device trace); dim 0 is untiled, so
+            # the static F-row slices are free.
+            nf = flux_ref.shape[1]
+            mag0 = coef_ref[0:nf]       # (F, G, T)
+            r0 = coef_ref[nf:2 * nf]
+            dr = coef_ref[2 * nf:3 * nf]
         else:
             mag0 = coef_ref[0][:, None, :]  # (F, 1, T)
             r0 = coef_ref[1][:, None, :]
@@ -724,10 +731,12 @@ def _make_call(cfg, B, F, M, tile, dtype, interpret, per_star=False):
     out_specs = [pl.BlockSpec((GROUP, tile), lambda t, g: (g, t),
                               memory_space=pltpu.VMEM)] * 11
     if per_star:
-        # Funnel stage 2: coefficients are per-star shortlists,
-        # (3, F, B, M) with a GROUP slice along the star axis.
-        coef_spec = pl.BlockSpec((3, F, GROUP, tile),
-                                 lambda t, g: (0, 0, g, t),
+        # Funnel stage 2: coefficients are per-star shortlists in the
+        # slab gather's native (3F, B, M) row layout (a pure bitcast
+        # of its (3F, B*M) output — see `_unpack_split`), with a GROUP
+        # slice along the star axis.
+        coef_spec = pl.BlockSpec((3 * F, GROUP, tile),
+                                 lambda t, g: (0, g, t),
                                  memory_space=pltpu.VMEM)
     else:
         coef_spec = pl.BlockSpec((3, F, tile), lambda t, g: (0, 0, t),
@@ -1084,8 +1093,7 @@ def _unpack_split(out, n_coef, B):
         out_c, out_a = out[:n_coef], out[n_coef:]
     BP = out_c.shape[1]
     P = BP // B
-    F = n_coef // 3
-    coeffs = out_c.reshape(3, F, B, P)
+    coeffs = out_c.reshape(n_coef, B, P)
     aux = out_a.reshape(out_a.shape[0], B, P)
     return coeffs, aux
 
