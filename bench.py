@@ -732,11 +732,13 @@ def main():
     }
     if args.screen == 12288 and not args.loglike_only:
         result["note"] = (
-            "round-4 recall-sized defaults: screen_k 8192->12288 "
-            "raises correlated-grid worst-star recall 0.82->0.96 "
-            "(RECALL.json) at a measured ~13-15% throughput cost; "
-            "r03's 5590 stars/s headline ran at the 0.82-recall "
-            "config")
+            "recall-sized defaults (screen_k 12288/block 256: "
+            "worst-star recall 0.96, RECALL.json; end-to-end "
+            "funnel-vs-dense deltas in FUNNEL_AB.json — lossless on "
+            "iid grids, documented tails on degenerate lattices); "
+            "round-5 device budget ~12.6 ms/batch after the split "
+            "slab-gather, bf16 prefilter key, and bitcast coeff "
+            "handoff (round-4: 16.8)")
     result.update(verify_info)
     result.update(corr_info)
     result.update(breakdown_info)
