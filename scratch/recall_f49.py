@@ -128,7 +128,8 @@ def main():
         print("screen block scores: cached", flush=True)
     else:
         st, packed, names, n_real2, maskrow = prepare_screen(
-            mc, aux=dict(lnprior=np.zeros(M, np.float32)), tile=tile)
+            mc, aux=dict(lnprior=np.zeros(M, np.float32)), tile=tile,
+            screen_block=BASE)
         score = loglike_grid_screened(
             flux, err, mask, st, packed, maskrow, n_real2,
             parallax=plx, parallax_err=plxe, cfg=cfg, tile=tile,
