@@ -112,6 +112,9 @@ def main():
     ap.add_argument("--no-direct-init", dest="direct_init",
                     action="store_false")
     ap.add_argument("--prefilter", type=int, default=2048)
+    ap.add_argument("--prefilter-block", type=int, default=1,
+                    help="prefilter selection granularity (see "
+                         "PosteriorConfig.prefilter_block)")
     # Defaults follow FitConfig (single source of truth; sized for
     # worst-star recall on correlated grids — see config.py).
     from brutus_tpu.config import FitConfig as _FC
@@ -214,7 +217,8 @@ def main():
                         screen_select=args.screen_select)
     post_cfg = PosteriorConfig(n_mc_prior=args.nmc, n_draws=args.ndraws,
                                n_sel_max=min(args.nsel, M),
-                               prefilter_k=args.prefilter)
+                               prefilter_k=args.prefilter,
+                               prefilter_block=args.prefilter_block)
 
     n_dev = len(jax.devices())
 

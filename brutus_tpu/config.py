@@ -241,6 +241,16 @@ class PosteriorConfig:
     # still gathered at full f32 from the pack; only the ranking key
     # is quantized.
     prefilter_bf16: bool = True
+    # Prefilter selection granularity: pick `prefilter_k / block` BLOCKS
+    # of `block` consecutive shortlist slots (ranked by block-max) instead
+    # of `prefilter_k` single candidates.  The prefilter's field-pack
+    # gather is slice-RATE bound on TPU (262k single-row slices = 1.9
+    # ms/batch of the round-5 device trace); block granularity cuts the
+    # slice count by `block`x and shrinks the ranking sort the same way.
+    # The shortlist is screen-block-ordered, so chi2-adjacent candidates
+    # are already adjacent — block selection trades slots for neighbours
+    # of high-rank candidates.  1 = exact single-candidate selection.
+    prefilter_block: int = 1
     # PSD repair (fitting.py:1042-1065): escalating diagonal Gaussian
     # priors, doubled each pass; fixed pass count for static control flow.
     psd_width: float = 0.02

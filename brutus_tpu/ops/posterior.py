@@ -145,6 +145,13 @@ def _select_stage(results, lnprior_grid, coord,
     K1 = cfg.prefilter_k
     rv_pre = chi2_pre = icov_pre = None
     if K1 and K1 < M:
+        # Block-granular selection (PosteriorConfig.prefilter_block):
+        # rank `blk`-candidate blocks by block-max and keep K1/blk of
+        # them — the pack gather below then fetches blk-row slices
+        # (slice-RATE bound on TPU) and the ranking sort shrinks blk x.
+        blk = max(1, cfg.prefilter_block)
+        if M % blk or K1 % blk:
+            blk = 1
         if cfg.prefilter_bf16:
             # Max-shifted bf16 ranking key: halves the sort bandwidth
             # of the full-sort fallback this selection lowers to at
@@ -153,10 +160,16 @@ def _select_stage(results, lnprior_grid, coord,
             # gathered at f32; only the ranking key is quantized.
             key = jnp.maximum(lnprob - lnprob_max,
                               -3e4).astype(jnp.bfloat16)
-            _, pre_idx = jax.lax.approx_max_k(key, K1,
-                                              recall_target=0.95)
         else:
-            _, pre_idx = jax.lax.approx_max_k(lnprob, K1,
+            key = lnprob
+        if blk > 1:
+            kb = jnp.max(key.reshape(M // blk, blk), axis=1)
+            _, blk_idx = jax.lax.approx_max_k(kb, K1 // blk,
+                                              recall_target=0.95)
+            pre_idx = (blk_idx[:, None] * blk
+                       + jnp.arange(blk, dtype=blk_idx.dtype)).reshape(-1)
+        else:
+            _, pre_idx = jax.lax.approx_max_k(key, K1,
                                               recall_target=0.95)
         # Gathers dominate this stage on TPU: pack the needed fields
         # into one (M, C) matrix and fetch contiguous rows ONCE instead
@@ -189,7 +202,15 @@ def _select_stage(results, lnprior_grid, coord,
             # device trace (2.7 ms/batch vs 1.9 for this whole pack
             # fusion).
             fields.append(global_idx.astype(dtype))
-        packed = jnp.stack(fields, axis=-1)[pre_idx]
+        stacked = jnp.stack(fields, axis=-1)
+        if blk > 1:
+            # blk-row slices via a (M/blk, blk*C) row gather: same
+            # bytes, blk x fewer slices (the reshapes are bitcasts).
+            C = stacked.shape[-1]
+            packed = stacked.reshape(M // blk,
+                                     blk * C)[blk_idx].reshape(K1, C)
+        else:
+            packed = stacked[pre_idx]
         lnlike, scale, av, lnprob, lnprior_grid = (
             packed[:, 0], packed[:, 1], packed[:, 2], packed[:, 3],
             packed[:, 4])

@@ -632,6 +632,34 @@ def test_pack_gidx_f32_fallback_matches():
         float(outs[False]["log_evidence"]), rtol=1e-6)
 
 
+def test_prefilter_block_equivalence():
+    """Block-granular prefilter selection (`prefilter_block=8`, the
+    slice-rate optimization) must reproduce the single-candidate
+    prefilter's surviving model set and evidence when the block budget
+    comfortably covers the survivors (K1=128 of M=256 here)."""
+    flux, err = make_star(MC, 77, 0.4, 3.1, 1.2)
+    res = loglike_grid(jnp.asarray(flux), jnp.asarray(err),
+                       jnp.ones(NFILT, bool), jnp.asarray(MC),
+                       cfg=FitConfig())
+    outs = {}
+    for blk in (1, 8):
+        outs[blk] = lnpost_grid(
+            jax.random.PRNGKey(2), res, jnp.zeros(NMODEL),
+            jnp.asarray(COORD),
+            parallax=jnp.asarray(0.9), parallax_err=jnp.asarray(0.05),
+            cfg=PosteriorConfig(n_sel_max=128, prefilter_k=128,
+                                n_mc_prior=64, n_draws=64,
+                                prefilter_block=blk))
+    v1 = np.asarray(outs[1]["sel_idx"])[np.asarray(outs[1]["valid_sel"])]
+    v8 = np.asarray(outs[8]["sel_idx"])[np.asarray(outs[8]["valid_sel"])]
+    np.testing.assert_array_equal(np.sort(v1), np.sort(v8))
+    # Block selection permutes the slot order, so the per-slot MC
+    # streams differ: evidence agrees to MC noise (cf. the prefilter
+    # equivalence test above).
+    assert abs(float(outs[1]["log_evidence"])
+               - float(outs[8]["log_evidence"])) < 0.3
+
+
 @pytest.mark.slow
 def test_select_stage_merged_prefilter_pack():
     """`prefilter_k == n_sel_max` (the shipped default relation): the
