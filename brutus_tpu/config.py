@@ -247,9 +247,16 @@ class PosteriorConfig:
     # gather is slice-RATE bound on TPU (262k single-row slices = 1.9
     # ms/batch of the round-5 device trace); block granularity cuts the
     # slice count by `block`x and shrinks the ranking sort the same way.
-    # The shortlist is screen-block-ordered, so chi2-adjacent candidates
-    # are already adjacent — block selection trades slots for neighbours
-    # of high-rank candidates.  1 = exact single-candidate selection.
+    # The shortlist is screen-block-ordered, so block selection trades
+    # slots for grid-adjacent neighbours of high-rank candidates.
+    # MEASURED AND REJECTED as a default (scratch/
+    # prefilter_block_recall.py, RECALL.json "prefilter_block"): on the
+    # correlated SEDmaker grid the cull-survivor set spreads over more
+    # distinct blocks than K1/blk covers — worst-star posterior-mass
+    # recall collapses 0.960 -> 0.871 (blk=4) -> 0.609 (blk=8), echoing
+    # the round-3 subsampled-screen rejection: the lnprob landscape is
+    # sharp at single-model granularity.  1 = exact single-candidate
+    # selection (the only survey-safe setting on correlated grids).
     prefilter_block: int = 1
     # PSD repair (fitting.py:1042-1065): escalating diagonal Gaussian
     # priors, doubled each pass; fixed pass count for static control flow.
