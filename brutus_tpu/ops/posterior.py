@@ -174,16 +174,23 @@ def _select_stage(results, lnprior_grid, coord,
         # Gathers dominate this stage on TPU: pack the needed fields
         # into one (M, C) matrix and fetch contiguous rows ONCE instead
         # of issuing one scattered gather per field.
-        fields = [lnlike, scale, av, lnprob, lnprior_grid.astype(dtype)]
-        if feh is not None:
-            fields.append(feh)
-        if loga is not None:
-            fields.append(loga)
         # With prefilter width == K the prefilter IS the selection
         # (sel_idx == pre_idx below): fold the fit-output tail fields
         # (rv, chi2, 6 precision components) into the SAME pack, which
         # removes the second full-width stack + row gather entirely.
         merge_tail = (K1 == min(K, K1))
+        # `lnprob` only rides the pack when the s-precision part does
+        # NOT (merge_tail=False): otherwise it is recomputed post-gather
+        # from the packed lnlike/scale/s_den — the identical elementwise
+        # function on identical values (bitwise-equal result), one less
+        # full-width field in the gather.
+        fields = [lnlike, scale, av, lnprior_grid.astype(dtype)]
+        if not merge_tail:
+            fields.insert(3, lnprob)
+        if feh is not None:
+            fields.append(feh)
+        if loga is not None:
+            fields.append(loga)
         if merge_tail:
             if icov_parts is not None:
                 parts_full = tuple(icov_parts)
@@ -211,10 +218,15 @@ def _select_stage(results, lnprior_grid, coord,
                                      blk * C)[blk_idx].reshape(K1, C)
         else:
             packed = stacked[pre_idx]
-        lnlike, scale, av, lnprob, lnprior_grid = (
-            packed[:, 0], packed[:, 1], packed[:, 2], packed[:, 3],
-            packed[:, 4])
-        c = 5
+        if merge_tail:
+            lnlike, scale, av, lnprior_grid = (
+                packed[:, 0], packed[:, 1], packed[:, 2], packed[:, 3])
+            c = 4
+        else:
+            lnlike, scale, av, lnprob, lnprior_grid = (
+                packed[:, 0], packed[:, 1], packed[:, 2], packed[:, 3],
+                packed[:, 4])
+            c = 5
         feh_s = loga_s = None
         if feh is not None:
             feh_s, c = packed[:, c], c + 1
@@ -224,6 +236,12 @@ def _select_stage(results, lnprior_grid, coord,
             rv_pre, chi2_pre = packed[:, c], packed[:, c + 1]
             icov_pre = tuple(packed[:, c + 2 + i] for i in range(6))
             c += 8
+            # Recompute lnprob from packed fields (see the field-list
+            # comment above: bitwise-equal to gathering it).
+            scale_err_pre = 1.0 / jnp.sqrt(jnp.abs(icov_pre[0]))
+            lnprob = lnlike + scale_parallax_lnprior(
+                scale, scale_err_pre, parallax, parallax_err)
+            lnprob = jnp.where(jnp.isfinite(lnprob), lnprob, NEG_BIG)
         gidx_pre = packed[:, c] if pack_gidx else None
     else:
         pre_idx = None
