@@ -149,6 +149,10 @@ def main():
                     help="funnel block-shortlist selection: exact "
                          "top_k sort or approx_max_k (PartialReduce) "
                          "at recall 0.99 over block maxima")
+    ap.add_argument("--no-kernel-pack", dest="kernel_pack",
+                    action="store_false", default=True,
+                    help="disable the fit kernel's stacked pack-ready "
+                         "output (A/B the XLA restack path)")
     ap.add_argument("--screen-matmul", choices=["wide", "split"],
                     default="split",
                     help="screen kernel matmul issue shape (split = "
@@ -214,7 +218,8 @@ def main():
                         kernel_flux_iters=args.flux_iters,
                         screen_score=args.screen_score,
                         screen_matmul=args.screen_matmul,
-                        screen_select=args.screen_select)
+                        screen_select=args.screen_select,
+                        kernel_pack=args.kernel_pack)
     post_cfg = PosteriorConfig(n_mc_prior=args.nmc, n_draws=args.ndraws,
                                n_sel_max=min(args.nsel, M),
                                prefilter_k=args.prefilter,
@@ -339,6 +344,7 @@ def main():
 
         from brutus_tpu.ops.pallas_loglike import (loglike_grid_fused,
                                                    loglike_grid_screened,
+                                                   pack_row_names,
                                                    prepare_coeffs,
                                                    prepare_screen)
         if args.screen:
@@ -379,7 +385,8 @@ def main():
                                     feh=aux["feh"], loga=aux["loga"],
                                     dust_profile=(dust_dist, dust_mean,
                                                   dust_std),
-                                    global_idx=gidx, cfg=post_cfg,
+                                    global_idx=gidx, pack_names=pack_row_names(aux_names),
+                                    cfg=post_cfg,
                                     tile=args.mc_tile)
 
             jstep = jax.jit(step_fn)
@@ -586,6 +593,7 @@ def main():
     breakdown_info = {}
     if args.breakdown and args.engine == "fused" and args.screen:
         from brutus_tpu.ops.pallas_loglike import (prepare_screen,
+                                                   pack_row_names,
                                                    loglike_grid_screened)
         from brutus_tpu.ops.posterior import lnpost_batch
         coeffs_t, packed, aux_names, n_real, maskrow = prepare_screen(
@@ -614,7 +622,8 @@ def main():
                                     feh=aux["feh"], loga=aux["loga"],
                                     dust_profile=(dust_dist, dust_mean,
                                                   dust_std),
-                                    global_idx=gidx, cfg=post_cfg,
+                                    global_idx=gidx, pack_names=pack_row_names(aux_names),
+                                    cfg=post_cfg,
                                     tile=args.mc_tile,
                                     stop_after=stop_post)
             return jax.jit(fn)

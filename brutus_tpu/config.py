@@ -175,6 +175,17 @@ class FitConfig:
     # (DMA lane alignment).
     screen_block: int = 256
 
+    # Funnel fit kernel emits ONE pack-ready (B, n_rows, P) output
+    # (lnl/chi2/scale/av/rv/6 precision parts + aux rows + global
+    # index, with the Gaussian-constant/dim-prior epilogue applied
+    # in-kernel) instead of 11 separate planes — the prefilter pack
+    # then gathers straight from the kernel output (a bitcast handoff)
+    # with no XLA restacking (~1.7 ms/batch of update-slice/relayout
+    # fusions on the round-5 device trace).  Auto-disabled when the
+    # gather outputs can't split coeff/aux on a sublane boundary
+    # (F=49) or the global grid exceeds f32-exact indexing (2^24).
+    kernel_pack: bool = True
+
     @property
     def mtol(self):
         """Mag-phase tolerance, `2.5 * ltol` (fitting.py:732)."""

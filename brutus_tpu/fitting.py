@@ -145,11 +145,12 @@ def _screened_step(fit_cfg, post_cfg, gal_cfg, dust_cfg, apply_av_prior,
     shortlist merge rides ICI collectives (see
     `loglike_grid_screened`'s sharded mode).
     """
-    from .ops.pallas_loglike import loglike_grid_screened
+    from .ops.pallas_loglike import loglike_grid_screened, pack_row_names
     from .ops.posterior import lnpost_batch
 
     n_ms = mesh.shape.get("model", 1) if mesh is not None else 1
     model_axis = "model" if n_ms > 1 else None
+    pnames = pack_row_names(aux_names)
 
     def step_fn(ct, pk, mr, keys, flux, err, mask, plx, plx_err,
                 coord, dust_mean, dust_std, dust_dist, ext_lnl):
@@ -164,7 +165,10 @@ def _screened_step(fit_cfg, post_cfg, gal_cfg, dust_cfg, apply_av_prior,
         if ext_lnl is not None:
             # (B, M) external label priors, gathered onto the
             # shortlists (element gather; only paid when `lnprior_ext`
-            # is in use).
+            # is in use).  The kernel-packed rows hold the UNmodified
+            # lnlike — drop them so the posterior re-stacks from the
+            # adjusted field.
+            res.pop("pack_rows", None)
             res["lnlike"] = res["lnlike"] + jnp.take_along_axis(
                 ext_lnl, gidx, axis=1)
         profile = ((dust_dist, dust_mean, dust_std)
@@ -174,6 +178,7 @@ def _screened_step(fit_cfg, post_cfg, gal_cfg, dust_cfg, apply_av_prior,
             parallax=plx, parallax_err=plx_err,
             feh=aux.get("feh"), loga=aux.get("loga"),
             dust_profile=profile, global_idx=gidx,
+            pack_names=pnames,
             cfg=post_cfg, gal_cfg=gal_cfg, dust_cfg=dust_cfg,
             apply_av_prior=apply_av_prior,
             lngalprior=lngalprior, lndustprior=lndustprior)

@@ -47,6 +47,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.scipy.special import gammaln
 
 from ..config import FitConfig, LN2PI
 from ..utils import chi2_logpdf
@@ -62,7 +63,19 @@ GROUP = 8  # stars per program (sublane width of the row state)
 
 
 @lru_cache(maxsize=32)
-def _make_kernel(cfg: FitConfig, per_star=False):
+def _make_kernel(cfg: FitConfig, per_star=False, stacked=None):
+    """`stacked=(n_aux, n_rows, mask_n_real)` switches the funnel
+    kernel to ONE pack-ready `(B, n_rows, M)` output (rows: lnl, chi2,
+    scale, av, rv, the 6 precision parts, the aux rows copied through
+    from the slab gather, the global index, zero padding) with the
+    `_post` epilogue (Gaussian norm constant / chi2 dim-prior /
+    pad-model masking, reference `brutus/fitting.py:806-815`) applied
+    IN-KERNEL from per-star constants.  The round-5 device trace
+    showed ~1.7 ms/batch of XLA marshalling (8 stack update-slices,
+    the aux deinterleave copy, two relayout copies) just to assemble
+    this buffer from 11 separate outputs; emitting it directly makes
+    the kernel-output -> prefilter-pack-gather handoff a pure bitcast.
+    """
     avm, av_sig = cfg.av_gauss
     rvm, rv_sig = cfg.rv_gauss
     avvi = 1.0 / av_sig ** 2
@@ -89,8 +102,14 @@ def _make_kernel(cfg: FitConfig, per_star=False):
         return jnp.max(x, axis=1, keepdims=True)
 
     def kernel(flux_ref, wtf_ref, mags_ref, wtm_ref, coef_ref,
-               lnl_ref, chi2_ref, scale_ref, av_ref, rv_ref,
-               sden_ref, aden_ref, rden_ref, sa_ref, sr_ref, ar_ref):
+               *out_refs):
+        if stacked is not None:
+            (aux_ref, gidx_ref, srow_ref), (out_ref,) = \
+                out_refs[:3], out_refs[3:]
+        else:
+            (lnl_ref, chi2_ref, scale_ref, av_ref, rv_ref,
+             sden_ref, aden_ref, rden_ref, sa_ref, sr_ref,
+             ar_ref) = out_refs
         # Grid: (num_tiles, B // GROUP); one program = 8 stars x 1 tile.
         # The coefficient block keeps the same index across the inner
         # group steps, so the grid streams from HBM exactly once.
@@ -258,17 +277,50 @@ def _make_kernel(cfg: FitConfig, per_star=False):
          s_den, a_den, r_den, sa, sr, ar) = mle(av, rv, want_icov=True)
         chi2 = fsum(residf * residf * wtf)
 
-        lnl_ref[:] = -0.5 * chi2
-        chi2_ref[:] = chi2
-        scale_ref[:] = scale
-        av_ref[:] = av
-        rv_ref[:] = rv
-        sden_ref[:] = s_den
-        aden_ref[:] = a_den
-        rden_ref[:] = r_den
-        sa_ref[:] = sa
-        sr_ref[:] = sr
-        ar_ref[:] = ar
+        if stacked is None:
+            lnl_ref[:] = -0.5 * chi2
+            chi2_ref[:] = chi2
+            scale_ref[:] = scale
+            av_ref[:] = av
+            rv_ref[:] = rv
+            sden_ref[:] = s_den
+            aden_ref[:] = a_den
+            rden_ref[:] = r_den
+            sa_ref[:] = sa
+            sr_ref[:] = sr
+            ar_ref[:] = ar
+            return
+
+        # ---- stacked mode: `_post`'s epilogue in-kernel, then ONE
+        # pack-ready (G, n_rows, T) store (see `_make_kernel` doc) ----
+        n_aux, n_rows, mask_n_real = stacked
+        gidx = gidx_ref[:]                               # (G, T) f32
+        if mask_n_real is not None:
+            # Tile-padding models inside selected slabs (same masking
+            # `_post` applies via `bad=(idx >= n_real)`).
+            badf = gidx >= float(mask_n_real)
+            chi2 = jnp.where(badf, 1e30, chi2)
+        lnl = -0.5 * chi2
+        if mask_n_real is not None:
+            lnl = jnp.where(badf, -1e30, lnl)
+        sc2 = srow_ref[:]                                # (G, 8)
+        lnl = lnl + sc2[:, 0:1]                          # Gaussian const
+        if cfg.dim_prior:
+            # chi2_logpdf(chi2, ndim-3) with the per-star constants
+            # cA = -(k/2 ln2 + lgamma(k/2)), cB = k/2 - 1 precomputed
+            # host-side (Mosaic has no lgamma); same op order as
+            # `utils.chi2_logpdf`.
+            safe_y = jnp.where(chi2 > 0, chi2, 1.0)
+            ans = sc2[:, 1:2] + sc2[:, 2:3] * jnp.log(safe_y) \
+                - safe_y / 2.0
+            lnl = jnp.where(chi2 > 0, ans, -jnp.inf)
+        rows = [lnl, chi2, scale, av, rv,
+                s_den, a_den, r_den, sa, sr, ar]
+        rows += [aux_ref[i] for i in range(n_aux)]
+        rows.append(gidx)
+        zero = jnp.zeros_like(chi2)
+        rows += [zero] * (n_rows - len(rows))
+        out_ref[:] = jnp.stack(rows, axis=1)
 
     return kernel
 
@@ -719,17 +771,30 @@ def loglike_grid_fused(flux, fluxerr, mask, coeffs_t,
 
 
 @lru_cache(maxsize=32)
-def _make_call(cfg, B, F, M, tile, dtype, interpret, per_star=False):
+def _make_call(cfg, B, F, M, tile, dtype, interpret, per_star=False,
+               stacked=None, n_auxp=0):
     """Cached `pallas_call` callable — a fresh kernel closure per call
     would miss the trace cache and re-lower the Mosaic kernel every
-    dispatch (~0.65 s each on the remote-compile backend)."""
+    dispatch (~0.65 s each on the remote-compile backend).
+
+    `stacked=(n_aux, n_rows, mask_n_real)` (funnel mode only): single
+    pack-ready `(B, n_rows, M)` output; extra inputs `aux (n_auxp, B,
+    M)`, `gidx_f32 (B, M)`, `srow (B, 8)` — see `_make_kernel`.
+    """
     num_tiles = M // tile
     n_groups = B // GROUP
     star_spec = pl.BlockSpec((1, F, GROUP), lambda t, g: (g, 0, 0),
                              memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct((B, M), dtype)] * 11
-    out_specs = [pl.BlockSpec((GROUP, tile), lambda t, g: (g, t),
-                              memory_space=pltpu.VMEM)] * 11
+    if stacked is not None:
+        n_rows = stacked[1]
+        out_shape = [jax.ShapeDtypeStruct((B, n_rows, M), dtype)]
+        out_specs = [pl.BlockSpec((GROUP, n_rows, tile),
+                                  lambda t, g: (g, 0, t),
+                                  memory_space=pltpu.VMEM)]
+    else:
+        out_shape = [jax.ShapeDtypeStruct((B, M), dtype)] * 11
+        out_specs = [pl.BlockSpec((GROUP, tile), lambda t, g: (g, t),
+                                  memory_space=pltpu.VMEM)] * 11
     if per_star:
         # Funnel stage 2: coefficients are per-star shortlists in the
         # slab gather's native (3F, B, M) row layout (a pure bitcast
@@ -742,8 +807,17 @@ def _make_call(cfg, B, F, M, tile, dtype, interpret, per_star=False):
         coef_spec = pl.BlockSpec((3, F, tile), lambda t, g: (0, 0, t),
                                  memory_space=pltpu.VMEM)
     in_specs = [star_spec] * 4 + [coef_spec]
+    if stacked is not None:
+        in_specs += [
+            pl.BlockSpec((n_auxp, GROUP, tile), lambda t, g: (0, g, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, tile), lambda t, g: (g, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GROUP, 8), lambda t, g: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     return pl.pallas_call(
-        _make_kernel(cfg, per_star),
+        _make_kernel(cfg, per_star, stacked),
         grid=(num_tiles, n_groups),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -1243,6 +1317,51 @@ def loglike_grid_screened(flux, fluxerr, mask, screen_tab, packed,
     if stop_after == "gather":     # bench --breakdown probe
         return coeffs2, aux, idx
 
+    use_stacked = (cfg.kernel_pack and has_aux and bool(aux_names)
+                   and M * n_model_shards < 2 ** 24)
+    if use_stacked:
+        # Pack-ready stacked kernel output (see `_make_kernel`): the
+        # `_post` epilogue runs in-kernel from per-star constants, the
+        # aux/global-index rows ride along, and the posterior's
+        # prefilter pack gathers straight from this buffer
+        # (`posterior._select_stage` `pack_rows` path) — no XLA
+        # restack/relayout/deinterleave between the two kernels.
+        n_aux = len(aux_names)
+        n_auxp = aux.shape[0]
+        n_rows = -(-(11 + n_aux + 1) // 8) * 8
+        mask_nr = n_real if n_real < M else None
+        ndim_f = ndim.astype(jnp.float32)
+        halfdf = (ndim_f - 3.0) / 2.0
+        safe_var = jnp.where(mask, tot_var, 1.0)
+        const = -0.5 * (ndim_f * LN2PI
+                        + jnp.sum(jnp.log(safe_var) * mask, axis=1))
+        srow = jnp.zeros((Bp, 8), jnp.float32)
+        srow = srow.at[:, 0].set(const)
+        srow = srow.at[:, 1].set(-(halfdf * math.log(2.0)
+                                   + gammaln(halfdf)))
+        srow = srow.at[:, 2].set(halfdf - 1.0)
+        gidx_f = idx.astype(jnp.float32)
+        call = _make_call(cfg, Bp, F, P, tile2, "float32", interpret,
+                          per_star=True,
+                          stacked=(n_aux, n_rows, mask_nr),
+                          n_auxp=n_auxp)
+        out, = call(grp(flux_p), grp(wt_flux), grp(mags), grp(wt_mag),
+                    coeffs2, aux, gidx_f, srow)
+        if Bp != B:
+            out, idx, ndim = out[:B], idx[:B], ndim[:B]
+        res = dict(lnlike=out[:, 0, :], ndim=ndim, chi2=out[:, 1, :],
+                   scale=out[:, 2, :], av=out[:, 3, :],
+                   rv=out[:, 4, :],
+                   icov_parts=tuple(out[:, 5 + i, :] for i in range(6)))
+        res["global_idx"] = idx
+        res["aux"] = {name: out[:, 11 + i, :]
+                      for i, name in enumerate(aux_names)}
+        # `pack_rows` is a plain array leaf (safe through any user
+        # jit/vmap); the static row-name map is derived by the caller
+        # via `pack_row_names(aux_names)` and passed to `lnpost_batch`.
+        res["pack_rows"] = out
+        return res
+
     call = _make_call(cfg, Bp, F, P, tile2, "float32", interpret,
                       per_star=True)
     outs = call(grp(flux_p), grp(wt_flux), grp(mags), grp(wt_mag), coeffs2)
@@ -1259,5 +1378,17 @@ def loglike_grid_screened(flux, fluxerr, mask, screen_tab, packed,
     return res
 
 
+def pack_row_names(aux_names):
+    """Static row-name map of the funnel kernel's stacked pack output
+    (`FitConfig.kernel_pack`): the 11 fit fields, the aux rows in
+    `aux_names` order, then the global model index.  Pass to
+    `posterior.lnpost_batch(pack_names=...)` alongside a results dict
+    carrying `pack_rows` to let the prefilter pack gather straight
+    from the kernel output."""
+    return ("lnlike", "chi2", "scale", "av", "rv",
+            "i00", "i11", "i22", "i01", "i02", "i12",
+            *aux_names, "gidx")
+
+
 __all__ = ["loglike_grid_fused", "loglike_grid_screened",
-           "prepare_coeffs", "prepare_screen"]
+           "prepare_coeffs", "prepare_screen", "pack_row_names"]

@@ -104,7 +104,8 @@ def _select_stage(results, lnprior_grid, coord,
                   parallax, parallax_err, feh, loga, dust_profile,
                   cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
                   dust_cfg: DustPriorConfig, apply_av_prior,
-                  lngalprior=None, lndustprior=None, global_idx=None):
+                  lngalprior=None, lndustprior=None, global_idx=None,
+                  pack_names=None):
     """Culls + priors + top-K selection + PSD repair — everything of
     `lnpost_grid` before the Monte-Carlo integration (reference
     `brutus/fitting.py:823-1065` + the chi2/Ndim bookkeeping of
@@ -179,70 +180,104 @@ def _select_stage(results, lnprior_grid, coord,
         # (rv, chi2, 6 precision components) into the SAME pack, which
         # removes the second full-width stack + row gather entirely.
         merge_tail = (K1 == min(K, K1))
-        # `lnprob` only rides the pack when the s-precision part does
-        # NOT (merge_tail=False): otherwise it is recomputed post-gather
-        # from the packed lnlike/scale/s_den — the identical elementwise
-        # function on identical values (bitwise-equal result), one less
-        # full-width field in the gather.
-        fields = [lnlike, scale, av, lnprior_grid.astype(dtype)]
-        if not merge_tail:
-            fields.insert(3, lnprob)
-        if feh is not None:
-            fields.append(feh)
-        if loga is not None:
-            fields.append(loga)
-        if merge_tail:
-            if icov_parts is not None:
-                parts_full = tuple(icov_parts)
-            else:
-                parts_full = (icov[:, 0, 0], icov[:, 1, 1],
-                              icov[:, 2, 2], icov[:, 0, 1],
-                              icov[:, 0, 2], icov[:, 1, 2])
-            fields.extend((rv, chi2) + parts_full)
+        # Kernel-packed rows (funnel fused engine, `FitConfig.
+        # kernel_pack`): the fit kernel already emitted every pack
+        # field as one (n_rows, M) buffer whose bytes ARE the gather's
+        # plane-major input — gather straight from it and skip the
+        # whole stack/relayout below.  `lnprior_grid`/`feh`/`loga`
+        # must be the SAME arrays the kernel packed (they are for
+        # every in-package caller: all come from `loglike_grid_
+        # screened`'s aux rows).
+        pack_rows = results.get("pack_rows")
+        use_pack = (pack_rows is not None and pack_names is not None
+                    and merge_tail and blk == 1
+                    and "lnprior" in pack_names
+                    and (feh is None or "feh" in pack_names)
+                    and (loga is None or "loga" in pack_names))
         pack_gidx = global_idx is not None and cfg.pack_gidx_f32
-        if pack_gidx:
-            # Ride the local->grid index map through the SAME pack as
-            # an f32 field (exact below 2^24; `cfg.pack_gidx_f32` is
-            # auto-disabled by `BruteForce.fit` for larger grids): the
-            # standalone `global_idx[sel_idx]` element-gather was the
-            # single most expensive op of the posterior stage on a
-            # device trace (2.7 ms/batch vs 1.9 for this whole pack
-            # fusion).
-            fields.append(global_idx.astype(dtype))
-        stacked = jnp.stack(fields, axis=-1)
-        if blk > 1:
-            # blk-row slices via a (M/blk, blk*C) row gather: same
-            # bytes, blk x fewer slices (the reshapes are bitcasts).
-            C = stacked.shape[-1]
-            packed = stacked.reshape(M // blk,
-                                     blk * C)[blk_idx].reshape(K1, C)
+        if use_pack:
+            # Gather straight from the kernel-packed rows: `pack_rows`
+            # is (n_rows, M) whose bytes are already the plane-major
+            # layout this row gather compiles to (the logical
+            # transpose is a bitcast under XLA layout assignment).
+            col = {n: i for i, n in enumerate(pack_names)}
+            packed = pack_rows.T[pre_idx]
+            g = lambda n: packed[:, col[n]]
+            lnlike, scale, av = g("lnlike"), g("scale"), g("av")
+            lnprior_grid = g("lnprior")
+            feh_s = g("feh") if feh is not None else None
+            loga_s = g("loga") if loga is not None else None
+            rv_pre, chi2_pre = g("rv"), g("chi2")
+            icov_pre = tuple(g(n) for n in
+                             ("i00", "i11", "i22", "i01", "i02", "i12"))
+            gidx_pre = g("gidx") if pack_gidx else None
         else:
-            packed = stacked[pre_idx]
+            # `lnprob` only rides the pack when the s-precision part
+            # does NOT (merge_tail=False): otherwise it is recomputed
+            # post-gather from the packed lnlike/scale/s_den — the
+            # identical elementwise function on identical values
+            # (bitwise-equal result), one less full-width field in the
+            # gather.
+            fields = [lnlike, scale, av, lnprior_grid.astype(dtype)]
+            if not merge_tail:
+                fields.insert(3, lnprob)
+            if feh is not None:
+                fields.append(feh)
+            if loga is not None:
+                fields.append(loga)
+            if merge_tail:
+                if icov_parts is not None:
+                    parts_full = tuple(icov_parts)
+                else:
+                    parts_full = (icov[:, 0, 0], icov[:, 1, 1],
+                                  icov[:, 2, 2], icov[:, 0, 1],
+                                  icov[:, 0, 2], icov[:, 1, 2])
+                fields.extend((rv, chi2) + parts_full)
+            if pack_gidx:
+                # Ride the local->grid index map through the SAME pack
+                # as an f32 field (exact below 2^24; `cfg.pack_gidx_f32`
+                # is auto-disabled by `BruteForce.fit` for larger
+                # grids): the standalone `global_idx[sel_idx]`
+                # element-gather was the single most expensive op of
+                # the posterior stage on a device trace (2.7 ms/batch
+                # vs 1.9 for this whole pack fusion).
+                fields.append(global_idx.astype(dtype))
+            stacked = jnp.stack(fields, axis=-1)
+            if blk > 1:
+                # blk-row slices via a (M/blk, blk*C) row gather: same
+                # bytes, blk x fewer slices (the reshapes are bitcasts).
+                C = stacked.shape[-1]
+                packed = stacked.reshape(M // blk,
+                                         blk * C)[blk_idx].reshape(K1, C)
+            else:
+                packed = stacked[pre_idx]
+            if merge_tail:
+                lnlike, scale, av, lnprior_grid = (
+                    packed[:, 0], packed[:, 1], packed[:, 2],
+                    packed[:, 3])
+                c = 4
+            else:
+                lnlike, scale, av, lnprob, lnprior_grid = (
+                    packed[:, 0], packed[:, 1], packed[:, 2],
+                    packed[:, 3], packed[:, 4])
+                c = 5
+            feh_s = loga_s = None
+            if feh is not None:
+                feh_s, c = packed[:, c], c + 1
+            if loga is not None:
+                loga_s, c = packed[:, c], c + 1
+            if merge_tail:
+                rv_pre, chi2_pre = packed[:, c], packed[:, c + 1]
+                icov_pre = tuple(packed[:, c + 2 + i] for i in range(6))
+                c += 8
+            gidx_pre = packed[:, c] if pack_gidx else None
         if merge_tail:
-            lnlike, scale, av, lnprior_grid = (
-                packed[:, 0], packed[:, 1], packed[:, 2], packed[:, 3])
-            c = 4
-        else:
-            lnlike, scale, av, lnprob, lnprior_grid = (
-                packed[:, 0], packed[:, 1], packed[:, 2], packed[:, 3],
-                packed[:, 4])
-            c = 5
-        feh_s = loga_s = None
-        if feh is not None:
-            feh_s, c = packed[:, c], c + 1
-        if loga is not None:
-            loga_s, c = packed[:, c], c + 1
-        if merge_tail:
-            rv_pre, chi2_pre = packed[:, c], packed[:, c + 1]
-            icov_pre = tuple(packed[:, c + 2 + i] for i in range(6))
-            c += 8
-            # Recompute lnprob from packed fields (see the field-list
-            # comment above: bitwise-equal to gathering it).
+            # Recompute lnprob from packed fields (see above:
+            # bitwise-equal to gathering it).
             scale_err_pre = 1.0 / jnp.sqrt(jnp.abs(icov_pre[0]))
             lnprob = lnlike + scale_parallax_lnprior(
                 scale, scale_err_pre, parallax, parallax_err)
             lnprob = jnp.where(jnp.isfinite(lnprob), lnprob, NEG_BIG)
-        gidx_pre = packed[:, c] if pack_gidx else None
     else:
         pre_idx = None
         gidx_pre = None
@@ -509,7 +544,7 @@ from functools import lru_cache
 def _batch_fns(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
                dust_cfg: DustPriorConfig, apply_av_prior,
                has_feh, has_loga, has_dust, has_global,
-               use_krng=False):
+               use_krng=False, pack_names=None):
     """Cached jitted pre/post halves of `lnpost_batch` (the MC kernel
     dispatches eagerly in between)."""
     from .pallas_mc import N_TAB_ROWS, N_SCALARS, NL_PAD, AGG_COV
@@ -528,7 +563,7 @@ def _batch_fns(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
                             parallax_err, feh, loga, profile,
                             cfg, gal_cfg, dust_cfg, apply_av_prior,
                             global_idx=global_idx if has_global
-                            else None)
+                            else None, pack_names=pack_names)
         dtype = sel["lnp_sel"].dtype
         K = sel["lnp_sel"].shape[0]
         kmvn, kidx, kmc = jax.random.split(key, 3)
@@ -693,6 +728,7 @@ def _batch_fns(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
 def lnpost_batch(keys, results, lnprior_grid, coord,
                  parallax=None, parallax_err=None,
                  feh=None, loga=None, dust_profile=None, global_idx=None,
+                 pack_names=None,
                  cfg: PosteriorConfig = PosteriorConfig(),
                  gal_cfg: GalPriorConfig = GalPriorConfig(),
                  dust_cfg: DustPriorConfig = DustPriorConfig(),
@@ -755,6 +791,13 @@ def lnpost_batch(keys, results, lnprior_grid, coord,
         )(keys, results, lnprior_grid, coord_b, parallax, parallax_err,
           feh, loga, global_idx, dust_profile)
 
+    # Kernel-packed rows (results["pack_rows"] + the static
+    # `pack_names` map from `pallas_loglike.pack_row_names`): the
+    # prefilter pack gathers straight from the fit kernel's stacked
+    # output.  `lnprior_grid`/`feh`/`loga` must then be the SAME
+    # arrays the kernel packed (true for every in-package caller).
+    pack_names = tuple(pack_names) if pack_names else None
+
     B = keys.shape[0]
     lnp = results["lnlike"]
     dtype = lnp.dtype
@@ -792,7 +835,7 @@ def lnpost_batch(keys, results, lnprior_grid, coord,
 
     pre_v, post_v = _batch_fns(cfg, gal_cfg, dust_cfg, bool(apply_av_prior),
                                has_feh, has_loga, has_dust, has_global,
-                               use_krng)
+                               use_krng, pack_names)
     sel = pre_v(keys, results, lnprior_grid, coord, parallax,
                 parallax_err, feh_a, loga_a, av_mean, av_std, av_dist,
                 gidx_a)

@@ -19,11 +19,15 @@ import jax.numpy as jnp
 
 from brutus_tpu.config import FitConfig, PosteriorConfig
 from brutus_tpu.ops.pallas_loglike import (loglike_grid_screened,
+                                           pack_row_names,
                                            prepare_screen)
 from brutus_tpu.ops.posterior import lnpost_batch
 from bench import build_problem, build_stars
 
-M, F, B, NSCAN = 750_000, 8, 128, 4
+M, F = 750_000, 8
+B = int(os.environ.get("TRACE_B", "128"))
+NSCAN = int(os.environ.get("TRACE_NSCAN", "4"))
+LOGDIR = os.environ.get("TRACE_LOGDIR", "/tmp/jax_trace_scan")
 mc, flux, err, idx, feh, loga, plx, plxe = build_problem(M, F, B, seed=0)
 fit_cfg = FitConfig()
 post_cfg = PosteriorConfig()
@@ -51,7 +55,8 @@ def one(ct, pk, mr, keys, f, e, p, pe):
                         parallax=p, parallax_err=pe,
                         feh=aux["feh"], loga=aux["loga"],
                         dust_profile=(dust_dist, dust_mean, dust_std),
-                        global_idx=gidx, cfg=post_cfg)
+                        global_idx=gidx, cfg=post_cfg,
+                        pack_names=pack_row_names(names))
 
 
 @jax.jit
@@ -82,7 +87,7 @@ for gi, g in ((2, g2), (3, g3)):
     print(f"group {gi}: wall {(time.perf_counter()-t0)*1e3/NSCAN:.2f} "
           f"ms/batch", flush=True)
 
-logdir = "/tmp/jax_trace_scan"
+logdir = LOGDIR
 os.makedirs(logdir, exist_ok=True)
 jax.profiler.start_trace(logdir)
 jax.block_until_ready(scan_step(ct, pk, mr, *g2))
