@@ -101,7 +101,14 @@ def _bits_to_uniform(bits):
 def _make_mc_kernel(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
                     dust_cfg: DustPriorConfig, n_mc, nmc_pad,
                     use_feh, use_loga, use_dust, use_gal,
-                    kernel_rng=False):
+                    kernel_rng=False, row_map=None):
+    """`row_map` (static tuple, len 11) remaps the table-row indices
+    `(mean_s, mean_a, mean_r, i00, i11, i22, i01, i02, i12, feh,
+    loga)` into the caller's table layout.  Used by the funnel's
+    kernel-packed path: the fit kernel's stacked pack IS the table
+    (its bytes already lie fields-major), so the select stage passes
+    it through untouched and model validity rides a separate one-row
+    input instead of ROW_VALID."""
     g = gal_cfg
     t0, t1, t2 = (float(x) for x in _T)
     avmin, avmax = cfg.avlim
@@ -124,12 +131,8 @@ def _make_mc_kernel(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
     LN10 = math.log(10.0)
 
     def kernel(*refs):
-        if kernel_rng:
-            (flag_ref, seed_ref, tab_ref, scal_ref, dust_ref,
-             lnmc_ref, dist_ref, red_ref, dred_ref, agg_ref) = refs
-        else:
-            (flag_ref, tab_ref, scal_ref, dust_ref, z_ref,
-             lnmc_ref, dist_ref, red_ref, dred_ref, agg_ref) = refs
+        flag_ref = refs[0]
+        lnmc_ref, dist_ref, red_ref, dred_ref, agg_ref = refs[-5:]
         b = pl.program_id(0)
         t_id = pl.program_id(1)
         # Tile-skip: `top_k` sorts the selection best-first, so culled
@@ -159,33 +162,43 @@ def _make_mc_kernel(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
             _body(*refs)
 
     def _body(*refs):
+        i = 1
         if kernel_rng:
-            (flag_ref, seed_ref, tab_ref, scal_ref, dust_ref,
-             lnmc_ref, dist_ref, red_ref, dred_ref, agg_ref) = refs
+            seed_ref = refs[i]
+            i += 1
+        tab_ref, scal_ref, dust_ref = refs[i:i + 3]
+        i += 3
+        valid_ref = None
+        if row_map is not None:
+            valid_ref = refs[i]
+            i += 1
+        if not kernel_rng:
+            z_ref = refs[i]
+        else:
             b = pl.program_id(0)
             # Distinct stream per (star, model tile); Mosaic's
             # prng_seed takes at most two values, so fold the tile
             # index into the second word.
             pltpu.prng_seed(seed_ref[b, 0],
                             seed_ref[b, 1] + pl.program_id(1))
-        else:
-            (flag_ref, tab_ref, scal_ref, dust_ref, z_ref,
-             lnmc_ref, dist_ref, red_ref, dred_ref, agg_ref) = refs
-        tab = tab_ref[0]                       # (16, T)
+        lnmc_ref, dist_ref, red_ref, dred_ref, agg_ref = refs[-5:]
+        tab = tab_ref[0]                       # (n_tab_rows, T)
+        rm = row_map if row_map is not None else (
+            ROW_MEAN_S, ROW_MEAN_A, ROW_MEAN_R, ROW_I00, ROW_I11,
+            ROW_I22, ROW_I01, ROW_I02, ROW_I12, ROW_FEH, ROW_LOGA)
         row = lambda i: tab[i:i + 1, :]        # (1, T)
         sc = scal_ref[0]                       # (1, 16)
         scv = lambda i: sc[:, i:i + 1]         # (1, 1)
 
-        mean_s, mean_a, mean_r = row(ROW_MEAN_S), row(ROW_MEAN_A), \
-            row(ROW_MEAN_R)
+        mean_s, mean_a, mean_r = row(rm[0]), row(rm[1]), row(rm[2])
         # In-kernel covariance: stable inverse + escalating PSD repair
         # + Cholesky of the (s, Av, Rv) precision parts (reference
         # brutus/fitting.py:1039-1065 + utils.py:845).  Same functions
         # as the XLA path (utils parts toolkit) => bit-identical there;
         # dead tiles skip all of it.
-        icov_p = (row(ROW_I00), row(ROW_I11), row(ROW_I22),
-                  row(ROW_I01), row(ROW_I02), row(ROW_I12))
-        validm = row(ROW_VALID) > 0.5
+        icov_p = tuple(row(rm[3 + j]) for j in range(6))
+        validm = (valid_ref[0] if valid_ref is not None
+                  else row(ROW_VALID)) > 0.5
         cov_p = psd_repair_parts(icov_p, mean_s, validm, cfg.psd_width,
                                  cfg.psd_max_passes,
                                  mvn_eps=cfg.mvn_eps)
@@ -205,12 +218,12 @@ def _make_mc_kernel(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
 
         # Per-model (draw-independent) mixture-weight ingredients.
         if use_feh:
-            feh = row(ROW_FEH)
+            feh = row(rm[9])
             feh_g = [(-0.5 * ((mu - feh) ** 2 / sig ** 2)
                       - 0.5 * math.log(2.0 * math.pi * sig ** 2))
                      for mu, sig in comps]
         if use_loga:
-            age = jnp.exp(LN10 * row(ROW_LOGA)) * 1e-9
+            age = jnp.exp(LN10 * row(rm[10])) * 1e-9
             age_g = []
             for mu_a, sig_a, lo, hi, lden in age_c:
                 xi = (age - mu_a) / sig_a
@@ -359,21 +372,28 @@ def _make_mc_kernel(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
 @lru_cache(maxsize=32)
 def _make_mc_call(cfg, gal_cfg, dust_cfg, n_mc, nmc_pad, use_feh,
                   use_loga, use_dust, use_gal, B, K, tile, dtype,
-                  interpret, kernel_rng=False):
+                  interpret, kernel_rng=False, row_map=None,
+                  n_tab_rows=N_TAB_ROWS):
     num_tiles = K // tile
     kern = _make_mc_kernel(cfg, gal_cfg, dust_cfg, n_mc, nmc_pad,
                            use_feh, use_loga, use_dust, use_gal,
-                           kernel_rng)
+                           kernel_rng, row_map)
     draw_spec = pl.BlockSpec((1, nmc_pad, tile), lambda b, t, *_: (b, 0, t),
                              memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, N_TAB_ROWS, tile), lambda b, t, *_: (b, 0, t),
+        pl.BlockSpec((1, n_tab_rows, tile), lambda b, t, *_: (b, 0, t),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, N_SCALARS), lambda b, t, *_: (b, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, NL_PAD, 8), lambda b, t, *_: (b, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    if row_map is not None:
+        # Model validity rides its own one-row plane (the packed table
+        # has no VALID row).
+        in_specs.append(
+            pl.BlockSpec((1, 1, tile), lambda b, t, *_: (b, 0, t),
+                         memory_space=pltpu.VMEM))
     out_specs = [draw_spec, draw_spec, draw_spec, draw_spec,
                  pl.BlockSpec((1, 8, tile), lambda b, t, *_: (b, 0, t),
                               memory_space=pltpu.VMEM)]
@@ -406,7 +426,7 @@ def mc_integrate(tab, scal, dusttab, n_mc, nmc_pad,
                  cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
                  dust_cfg: DustPriorConfig, use_feh, use_loga, use_dust,
                  use_gal=True, tile=256, interpret=None, z=None,
-                 seeds=None, valid=None):
+                 seeds=None, valid=None, row_map=None):
     """Run the fused MC-integration kernel (eager dispatch).
 
     Parameters
@@ -433,7 +453,7 @@ def mc_integrate(tab, scal, dusttab, n_mc, nmc_pad,
     `c00, c11, c22, c01, c02, c12` computed in-kernel from the
     precision rows).
     """
-    B, _, K = tab.shape
+    B, n_tab, K = tab.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     t = tile
@@ -443,16 +463,24 @@ def mc_integrate(tab, scal, dusttab, n_mc, nmc_pad,
     call = _make_mc_call(cfg, gal_cfg, dust_cfg, int(n_mc), int(nmc_pad),
                          bool(use_feh), bool(use_loga), bool(use_dust),
                          bool(use_gal), B, K, t, str(tab.dtype),
-                         interpret, kernel_rng)
+                         interpret, kernel_rng,
+                         tuple(row_map) if row_map is not None else None,
+                         int(n_tab))
     if valid is None:
         flags = jnp.ones((B, K // t), jnp.int32)
     else:
         tile_any = jnp.any(valid.reshape(B, K // t, t), axis=-1)
         star_dead = ~jnp.any(valid, axis=1)
         flags = (tile_any | star_dead[:, None]).astype(jnp.int32)
+    args = [tab, scal, dusttab]
+    if row_map is not None:
+        # (B, 1, K) f32 validity plane (see _make_mc_call).
+        vplane = (valid if valid is not None
+                  else jnp.ones((B, K), bool))
+        args.append(vplane[:, None, :].astype(tab.dtype))
     if kernel_rng:
-        return call(flags, seeds, tab, scal, dusttab)
-    return call(flags, tab, scal, dusttab, z)
+        return call(flags, seeds, *args)
+    return call(flags, *args, z)
 
 
 __all__ = ["mc_integrate", "N_TAB_ROWS", "N_SCALARS", "NL_PAD"]

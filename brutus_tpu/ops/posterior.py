@@ -100,6 +100,44 @@ def _cull_mask(lnp, wt_thresh, cdf_thresh, base_mask=None):
 # paths remain bit-identical in interpret mode.
 
 
+def _pack_usable(cfg: PosteriorConfig, M, pack_names, has_pack,
+                 has_feh, has_loga):
+    """Static predicate: can the select stage gather straight from the
+    fit kernel's packed rows?  Requires the prefilter to BE the
+    selection (merge_tail), model-granular selection (blk == 1), and
+    every needed field present in the pack.  Shared by `_select_stage`
+    and `lnpost_batch` (which derives the MC kernel's row map from the
+    same answer)."""
+    if not has_pack or pack_names is None:
+        return False
+    K = min(cfg.n_sel_max, M)
+    K1 = cfg.prefilter_k
+    if not (K1 and K1 < M) or K1 != min(K, K1):
+        return False
+    blk = max(1, cfg.prefilter_block)
+    if M % blk or K1 % blk:
+        blk = 1
+    if blk != 1:
+        return False
+    if "lnprior" not in pack_names:
+        return False
+    if has_feh and "feh" not in pack_names:
+        return False
+    if has_loga and "loga" not in pack_names:
+        return False
+    return True
+
+
+def _pack_row_map(pack_names):
+    """MC-kernel table-row remap (see `pallas_mc._make_mc_kernel`
+    `row_map`) for a kernel-packed table passed through untouched."""
+    col = {n: i for i, n in enumerate(pack_names)}
+    return (col["scale"], col["av"], col["rv"],
+            col["i00"], col["i11"], col["i22"],
+            col["i01"], col["i02"], col["i12"],
+            col.get("feh", 0), col.get("loga", 0))
+
+
 def _select_stage(results, lnprior_grid, coord,
                   parallax, parallax_err, feh, loga, dust_profile,
                   cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
@@ -144,7 +182,7 @@ def _select_stage(results, lnprior_grid, coord,
     # gathered once at the final top-K with global indices — gathers
     # dominate this stage on TPU, so each saved array matters. ---
     K1 = cfg.prefilter_k
-    rv_pre = chi2_pre = icov_pre = None
+    rv_pre = chi2_pre = icov_pre = packed_pass = None
     if K1 and K1 < M:
         # Block-granular selection (PosteriorConfig.prefilter_block):
         # rank `blk`-candidate blocks by block-max and keep K1/blk of
@@ -189,11 +227,9 @@ def _select_stage(results, lnprior_grid, coord,
         # every in-package caller: all come from `loglike_grid_
         # screened`'s aux rows).
         pack_rows = results.get("pack_rows")
-        use_pack = (pack_rows is not None and pack_names is not None
-                    and merge_tail and blk == 1
-                    and "lnprior" in pack_names
-                    and (feh is None or "feh" in pack_names)
-                    and (loga is None or "loga" in pack_names))
+        use_pack = _pack_usable(cfg, M, pack_names,
+                                pack_rows is not None,
+                                feh is not None, loga is not None)
         pack_gidx = global_idx is not None and cfg.pack_gidx_f32
         if use_pack:
             # Gather straight from the kernel-packed rows: `pack_rows`
@@ -202,6 +238,7 @@ def _select_stage(results, lnprior_grid, coord,
             # transpose is a bitcast under XLA layout assignment).
             col = {n: i for i, n in enumerate(pack_names)}
             packed = pack_rows.T[pre_idx]
+            packed_pass = packed
             g = lambda n: packed[:, col[n]]
             lnlike, scale, av = g("lnlike"), g("scale"), g("av")
             lnprior_grid = g("lnprior")
@@ -398,11 +435,16 @@ def _select_stage(results, lnprior_grid, coord,
     else:
         sel_gidx = sel_idx
 
-    return dict(lnp_sel=lnp_sel, valid=valid, sel_idx=sel_idx,
-                sel_gidx=sel_gidx,
-                scale_k=scale_k, av_k=av_k, rv_k=rv_k, icov_p=icov_p,
-                chi2_k=chi2_k, ndim=ndim_out, chi2min=chi2min,
-                feh_k=feh_k, loga_k=loga_k)
+    out = dict(lnp_sel=lnp_sel, valid=valid, sel_idx=sel_idx,
+               sel_gidx=sel_gidx,
+               scale_k=scale_k, av_k=av_k, rv_k=rv_k, icov_p=icov_p,
+               chi2_k=chi2_k, ndim=ndim_out, chi2min=chi2min,
+               feh_k=feh_k, loga_k=loga_k)
+    if packed_pass is not None:
+        # Kernel-packed table pass-through (`lnpost_batch` hands it to
+        # the MC kernel with a row map instead of restacking).
+        out["packed"] = packed_pass
+    return out
 
 
 @partial(jax.jit,
@@ -583,16 +625,25 @@ def _batch_fns(cfg: PosteriorConfig, gal_cfg: GalPriorConfig,
                 zt = jnp.pad(zt, ((0, 0), (0, nmcp - nmc), (0, 0)))
             seeds = None
 
-        zero = jnp.zeros((K,), dtype)
-        # Rows 3-8: precision PARTS — the inverse + PSD repair +
-        # Cholesky run inside the MC kernel (skipped for dead tiles).
-        rows = [sel["scale_k"], sel["av_k"], sel["rv_k"]] \
-            + list(sel["icov_p"]) \
-            + [sel["feh_k"] if has_feh else zero,
-               sel["loga_k"] if has_loga else zero,
-               sel["valid"].astype(dtype)]
-        rows += [zero] * (N_TAB_ROWS - len(rows))
-        tab = jnp.stack(rows, axis=0)                # (16, K)
+        if "packed" in sel:
+            # Kernel-packed pass-through: the gathered pack IS the MC
+            # table (its bytes already lie fields-major; the transpose
+            # is a bitcast) — the kernel reads rows via `row_map` and
+            # validity rides its own plane.  Kills the (B, 16, K)
+            # restack below.
+            tab = sel.pop("packed").T                # (n_rows, K)
+        else:
+            zero = jnp.zeros((K,), dtype)
+            # Rows 3-8: precision PARTS — the inverse + PSD repair +
+            # Cholesky run inside the MC kernel (skipped for dead
+            # tiles).
+            rows = [sel["scale_k"], sel["av_k"], sel["rv_k"]] \
+                + list(sel["icov_p"]) \
+                + [sel["feh_k"] if has_feh else zero,
+                   sel["loga_k"] if has_loga else zero,
+                   sel["valid"].astype(dtype)]
+            rows += [zero] * (N_TAB_ROWS - len(rows))
+            tab = jnp.stack(rows, axis=0)            # (16, K)
 
         lr = jnp.deg2rad(coord[0])
         br = jnp.deg2rad(coord[1])
@@ -842,13 +893,16 @@ def lnpost_batch(keys, results, lnprior_grid, coord,
     if stop_after == "select":     # bench --breakdown probe
         return sel
     nmcp = -(-cfg.n_mc_prior // 8) * 8
+    use_pack = _pack_usable(cfg, results["lnlike"].shape[1], pack_names,
+                            "pack_rows" in results, has_feh, has_loga)
     lnmc, dist_k, red_k, dred_k, agg = mc_integrate(
         sel["tab"], sel["scal"], sel["dusttab"],
         cfg.n_mc_prior, nmcp, cfg, gal_cfg, dust_cfg,
         use_feh=has_feh, use_loga=has_loga,
         use_dust=has_dust and apply_av_prior, tile=tile,
         interpret=interpret, z=sel["z"], seeds=sel["seeds"],
-        valid=sel["valid"])
+        valid=sel["valid"],
+        row_map=_pack_row_map(pack_names) if use_pack else None)
     if stop_after == "mc":         # bench --breakdown probe
         return (sel, lnmc, dist_k, red_k, dred_k, agg)
     return post_v(sel, lnmc, dist_k, red_k, dred_k, agg, gidx_a)
