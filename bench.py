@@ -749,9 +749,11 @@ def main():
             "worst-star recall 0.96, RECALL.json; end-to-end "
             "funnel-vs-dense deltas in FUNNEL_AB.json — lossless on "
             "iid grids, documented tails on degenerate lattices); "
-            "round-5 device budget ~12.6 ms/batch after the split "
-            "slab-gather, bf16 prefilter key, and bitcast coeff "
-            "handoff (round-4: 16.8)")
+            "round-5 device budget ~12.8 ms/batch scanned-step trace "
+            "(round-4: 16.8) after the split slab-gather, bf16 "
+            "prefilter key, bitcast coeff handoff, and the kernel-pack "
+            "handoff (fit kernel emits one pack-ready stacked output; "
+            "MC kernel consumes the gathered pack via a row map)")
     result.update(verify_info)
     result.update(corr_info)
     result.update(breakdown_info)
